@@ -1,0 +1,339 @@
+"""RNS polynomial ring context and coefficient-wise operations.
+
+TPU-native counterpart of the reference's ``ring.Context`` + ``ring/ring.go``
+coefficient kernels and ``ring/ntt.go`` transforms.  Design differences from
+the Go reference (which loops scalar uint64 ops per coefficient):
+
+* A polynomial is a pair of ``uint32`` planes of shape ``[..., L, N]``
+  (two-plane uint64, see :mod:`lattigo_tpu.ops.u64`), where ``L`` is the
+  number of RNS limbs *actually carried* — level ``l`` objects carry ``l+1``
+  limbs, mirroring the reference's shrinking ``Coeffs[:level+1]`` slices while
+  keeping every jit trace static.
+* All per-modulus constants are precomputed host-side with Python ints
+  (matching ring/ring_context.go:68-209 bit for bit) and materialized as
+  ``[L, 1]``-shaped device constants that broadcast over coefficients.
+* The NTT runs as log2(N) vectorized butterfly stages over ``[L, m, 2, t]``
+  views — each stage is one fused elementwise pass over the whole limb stack,
+  instead of the reference's per-modulus scalar loop nest.  Twiddles are the
+  reference's bit-reversed Montgomery psi tables (ring/ring_context.go:160-209),
+  so outputs are bit-exact vs ``ring/test_data`` golden vectors.
+
+Leading batch dimensions broadcast: every op accepts ``[..., L, N]``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from lattigo_tpu.ops import modred, number_theory as nt
+from lattigo_tpu.ops import u64 as u
+
+U64 = u.U64
+
+
+def _tbl(vals, shape=None) -> U64:
+    """Host ints -> device U64 constant pair."""
+    arr = np.array(vals, dtype=np.uint64)
+    if shape is not None:
+        arr = arr.reshape(shape)
+    return u.from_u64(arr)
+
+
+class Ring:
+    """Precomputed modular/NTT context for R_Q = Z_Q[X]/(X^N + 1).
+
+    Mirrors ring/ring_context.go:18-51.  ``moduli`` must be distinct primes
+    == 1 mod 2N for the NTT to be enabled.
+    """
+
+    def __init__(self, n: int, moduli: list[int], compute_ntt_tables: bool = True):
+        if n & (n - 1) != 0:
+            raise ValueError("ring degree must be a power of 2")
+        self.n = n
+        self.log_n = n.bit_length() - 1
+        self.moduli = [int(q) for q in moduli]
+        self.L = len(self.moduli)
+        self.modulus_bigint = 1
+        for q in self.moduli:
+            self.modulus_bigint *= q
+
+        # Host-side integer tables.
+        self.bred = [nt.bred_params(q) for q in self.moduli]
+        self.qinv = [
+            nt.mred_params(q) if q & (q - 1) != 0 else 0 for q in self.moduli
+        ]
+        self.mask = [(1 << q.bit_length()) - 1 for q in self.moduli]
+
+        # Device constants, shaped [L, 1] to broadcast over N.
+        Lx1 = (self.L, 1)
+        self.q_ = _tbl(self.moduli, Lx1)
+        self.two_q_ = _tbl([2 * q for q in self.moduli], Lx1)
+        self.u0_ = _tbl([b[0] for b in self.bred], Lx1)
+        self.u1_ = _tbl([b[1] for b in self.bred], Lx1)
+        self.qinv_ = _tbl(self.qinv, Lx1)
+
+        self.allows_ntt = False
+        if compute_ntt_tables:
+            self._gen_ntt_tables()
+
+    # -- precomputation ----------------------------------------------------
+
+    def _gen_ntt_tables(self):
+        """ring/ring_context.go:129-209 (GenNTTParams)."""
+        n = self.n
+        for q in self.moduli:
+            if not nt.is_prime(q) or q & (2 * n - 1) != 1:
+                raise ValueError(f"modulus {q} does not allow NTT (need prime == 1 mod 2N)")
+
+        # rescaleParams[j-1][i] = MForm((q_j)^-1 mod q_i) for i < j.
+        self.rescale_params = [
+            [
+                nt.mform(pow(self.moduli[j], -1, self.moduli[i]), self.moduli[i])
+                for i in range(j)
+            ]
+            for j in range(1, self.L)
+        ]
+
+        psi_rows, psi_inv_rows, n_inv, psis, psi_invs = [], [], [], [], []
+        for q in self.moduli:
+            p, pi, ninv, psi_m, psi_im = nt.psi_tables(q, n)
+            psi_rows.append(p)
+            psi_inv_rows.append(pi)
+            n_inv.append(ninv)
+            psis.append(psi_m)
+            psi_invs.append(psi_im)
+        self.psi_mont = psis
+        self.psi_inv_mont = psi_invs
+        self.ntt_psi_host = np.array(psi_rows, dtype=np.uint64)       # [L, N]
+        self.ntt_psi_inv_host = np.array(psi_inv_rows, dtype=np.uint64)
+        self.psi_ = u.from_u64(self.ntt_psi_host)
+        self.psi_inv_ = u.from_u64(self.ntt_psi_inv_host)
+        self.n_inv_ = _tbl(n_inv, (self.L, 1))
+        self.allows_ntt = True
+
+    # -- helpers -----------------------------------------------------------
+
+    def level_of(self, x: U64) -> int:
+        return x[0].shape[-2] - 1
+
+    def _c(self, table: U64, lvl: int) -> U64:
+        """Slice a [L, ...] device constant down to lvl+1 limbs."""
+        return table[0][: lvl + 1], table[1][: lvl + 1]
+
+    def new_poly(self, lvl: int | None = None, batch=()) -> U64:
+        L = self.L if lvl is None else lvl + 1
+        return u.zeros64((*batch, L, self.n))
+
+    # -- NTT ---------------------------------------------------------------
+
+    def ntt(self, x: U64) -> U64:
+        """Forward negacyclic NTT over every carried limb (ring/ntt.go:53-86).
+
+        Output fully reduced in [0, q) — bit-exact vs the reference.
+        """
+        lvl = self.level_of(x)
+        n = self.n
+        psi = self._c(self.psi_, lvl)
+        q = self._c(self.q_, lvl)
+        two_q = self._c(self.two_q_, lvl)
+        qinv = self._c(self.qinv_, lvl)
+
+        lo, hi = x
+        batch = lo.shape[:-2]
+        L = lo.shape[-2]
+        m = 1
+        while m < n:  # m = 1, 2, 4, ..., N/2
+            t = n // (2 * m)
+            shp = (*batch, L, m, 2, t)
+            lo_r = lo.reshape(shp)
+            hi_r = hi.reshape(shp)
+            uu = (lo_r[..., 0, :], hi_r[..., 0, :])
+            vv = (lo_r[..., 1, :], hi_r[..., 1, :])
+            f = (
+                psi[0][..., :, m : 2 * m, None],
+                psi[1][..., :, m : 2 * m, None],
+            )
+            q_b = (q[0][..., None], q[1][..., None])
+            two_q_b = (two_q[0][..., None], two_q[1][..., None])
+            qinv_b = (qinv[0][..., None], qinv[1][..., None])
+            # Lazy CT butterfly: U in [0,4q) folded to [0,2q], V*psi in [0,2q).
+            uu = u.select64(u.lt64(two_q_b, uu), u.sub64(uu, two_q_b), uu)
+            vv = modred.mred_constant(vv, f, q_b, qinv_b)
+            x_new = u.add64(uu, vv)
+            y_new = u.sub64(u.add64(uu, two_q_b), vv)
+            lo = jnp.stack([x_new[0], y_new[0]], axis=-2).reshape(*batch, L, n)
+            hi = jnp.stack([x_new[1], y_new[1]], axis=-2).reshape(*batch, L, n)
+            m *= 2
+        return modred.bred_add((lo, hi), q, self._c(self.u0_, lvl))
+
+    def intt(self, x: U64) -> U64:
+        """Inverse negacyclic NTT (ring/ntt.go:89-139); exact output."""
+        lvl = self.level_of(x)
+        n = self.n
+        psi_inv = self._c(self.psi_inv_, lvl)
+        q = self._c(self.q_, lvl)
+        two_q = self._c(self.two_q_, lvl)
+        qinv = self._c(self.qinv_, lvl)
+
+        lo, hi = x
+        batch = lo.shape[:-2]
+        L = lo.shape[-2]
+        h = n // 2
+        while h >= 1:  # h = N/2, N/4, ..., 1
+            t = n // (2 * h)
+            shp = (*batch, L, h, 2, t)
+            lo_r = lo.reshape(shp)
+            hi_r = hi.reshape(shp)
+            uu = (lo_r[..., 0, :], hi_r[..., 0, :])
+            vv = (lo_r[..., 1, :], hi_r[..., 1, :])
+            f = (
+                psi_inv[0][..., :, h : 2 * h, None],
+                psi_inv[1][..., :, h : 2 * h, None],
+            )
+            q_b = (q[0][..., None], q[1][..., None])
+            two_q_b = (two_q[0][..., None], two_q[1][..., None])
+            qinv_b = (qinv[0][..., None], qinv[1][..., None])
+            # GS butterfly: X = U+V folded to <= 2q, Y = (U-V)*psiInv.
+            x_new = u.add64(uu, vv)
+            x_new = u.select64(u.lt64(two_q_b, x_new), u.sub64(x_new, two_q_b), x_new)
+            y_new = modred.mred_constant(
+                u.sub64(u.add64(uu, two_q_b), vv), f, q_b, qinv_b
+            )
+            lo = jnp.stack([x_new[0], y_new[0]], axis=-2).reshape(*batch, L, n)
+            hi = jnp.stack([x_new[1], y_new[1]], axis=-2).reshape(*batch, L, n)
+            h //= 2
+        return modred.mred(
+            (lo, hi), self._c(self.n_inv_, lvl), q, self._c(self.qinv_, lvl)
+        )
+
+    # -- coefficient-wise ops (ring/ring.go) -------------------------------
+
+    def _qc(self, x: U64):
+        lvl = self.level_of(x)
+        return (
+            self._c(self.q_, lvl),
+            self._c(self.two_q_, lvl),
+            self._c(self.u0_, lvl),
+            self._c(self.u1_, lvl),
+            self._c(self.qinv_, lvl),
+        )
+
+    def add(self, a: U64, b: U64) -> U64:
+        q, _, _, _, _ = self._qc(a)
+        return modred.cred(u.add64(a, b), q)
+
+    def add_nomod(self, a: U64, b: U64) -> U64:
+        return u.add64(a, b)
+
+    def sub(self, a: U64, b: U64) -> U64:
+        q, _, _, _, _ = self._qc(a)
+        return modred.cred(u.sub64(u.add64(a, q), b), q)
+
+    def sub_nomod(self, a: U64, b: U64) -> U64:
+        """a + q - b, without the conditional reduction (result < a + q)."""
+        q, _, _, _, _ = self._qc(a)
+        return u.sub64(u.add64(a, q), b)
+
+    def neg(self, a: U64) -> U64:
+        q, _, _, _, _ = self._qc(a)
+        return u.sub64(q, a)
+
+    def reduce(self, a: U64) -> U64:
+        q, _, u0, _, _ = self._qc(a)
+        return modred.bred_add(a, q, u0)
+
+    def mform(self, a: U64) -> U64:
+        q, _, u0, u1, _ = self._qc(a)
+        return modred.mform(a, q, u0, u1)
+
+    def inv_mform(self, a: U64) -> U64:
+        q, _, _, _, qinv = self._qc(a)
+        return modred.inv_mform(a, q, qinv)
+
+    def mul_coeffs_montgomery(self, a: U64, b: U64) -> U64:
+        """a .* b * 2^-64 mod q (one operand in Montgomery form)."""
+        q, _, _, _, qinv = self._qc(a)
+        return modred.mred(a, b, q, qinv)
+
+    def mul_coeffs_montgomery_constant(self, a: U64, b: U64) -> U64:
+        q, _, _, _, qinv = self._qc(a)
+        return modred.mred_constant(a, b, q, qinv)
+
+    def mul_coeffs_montgomery_and_add(self, a: U64, b: U64, c: U64) -> U64:
+        q, _, _, _, qinv = self._qc(a)
+        return modred.cred(u.add64(modred.mred(a, b, q, qinv), c), q)
+
+    def mul_coeffs_montgomery_and_add_nomod(self, a: U64, b: U64, c: U64) -> U64:
+        q, _, _, _, qinv = self._qc(a)
+        return u.add64(modred.mred(a, b, q, qinv), c)
+
+    def mul_coeffs_montgomery_and_sub(self, a: U64, b: U64, c: U64) -> U64:
+        q, _, _, _, qinv = self._qc(a)
+        return modred.cred(u.add64(u.sub64(q, modred.mred(a, b, q, qinv)), c), q)
+
+    def mul_coeffs(self, a: U64, b: U64) -> U64:
+        """Barrett a .* b mod q (no Montgomery precondition)."""
+        q, _, u0, u1, _ = self._qc(a)
+        return modred.bred(a, b, q, u0, u1)
+
+    def mul_scalar(self, a: U64, scalar: int) -> U64:
+        """a * scalar mod q, per limb, scalar a plain Python int < 2^64."""
+        lvl = self.level_of(a)
+        mont = _tbl(
+            [nt.mform(scalar % q, q) for q in self.moduli[: lvl + 1]],
+            (lvl + 1, 1),
+        )
+        q, _, _, _, qinv = self._qc(a)
+        return modred.mred(a, mont, q, qinv)
+
+    def mul_scalar_bigint(self, a: U64, scalar: int) -> U64:
+        """a * scalar mod q for an arbitrary-precision scalar."""
+        lvl = self.level_of(a)
+        mont = _tbl(
+            [nt.mform(scalar % q, q) for q in self.moduli[: lvl + 1]],
+            (lvl + 1, 1),
+        )
+        q, _, _, _, qinv = self._qc(a)
+        return modred.mred(a, mont, q, qinv)
+
+    # -- host <-> device coefficient conversion ----------------------------
+
+    def set_coeffs_bigint(self, coeffs: list[int], lvl: int | None = None) -> U64:
+        """Arbitrary-precision coefficients -> RNS residue planes
+        (ring/ring_context.go:424-467)."""
+        L = self.L if lvl is None else lvl + 1
+        rows = np.empty((L, self.n), dtype=np.uint64)
+        for i in range(L):
+            qi = self.moduli[i]
+            rows[i] = np.array([c % qi for c in coeffs], dtype=np.uint64)
+        return u.from_u64(rows)
+
+    def poly_to_bigint(self, x: U64) -> list[int]:
+        """CRT reconstruction over the carried limbs
+        (ring/ring_context.go:384-421)."""
+        arr = u.to_u64(x)
+        L = arr.shape[-2]
+        mod = 1
+        for q in self.moduli[:L]:
+            mod *= q
+        recon = []
+        for i in range(L):
+            qi = self.moduli[i]
+            crt = mod // qi
+            crt *= pow(crt, -1, qi)
+            recon.append(crt)
+        out = []
+        for j in range(self.n):
+            v = 0
+            for i in range(L):
+                v += int(arr[i, j]) * recon[i]
+            out.append(v % mod)
+        return out
+
+    def equal(self, a: U64, b: U64) -> bool:
+        ra = u.to_u64(self.reduce(a))
+        rb = u.to_u64(self.reduce(b))
+        return bool((ra == rb).all())
