@@ -129,17 +129,29 @@ class Ring:
 
     # -- NTT ---------------------------------------------------------------
 
+    def _tbl_rows(self, table: U64, limbs: tuple[int, ...]) -> U64:
+        if limbs == tuple(range(len(limbs))):  # prefix: cheap static slice
+            return table[0][: len(limbs)], table[1][: len(limbs)]
+        idx = np.array(limbs, dtype=np.int32)
+        return table[0][idx], table[1][idx]
+
     def ntt(self, x: U64) -> U64:
         """Forward negacyclic NTT over every carried limb (ring/ntt.go:53-86).
 
         Output fully reduced in [0, q) — bit-exact vs the reference.
         """
-        lvl = self.level_of(x)
+        return self.ntt_limbs(x, tuple(range(self.level_of(x) + 1)))
+
+    def ntt_limbs(self, x: U64, limbs: tuple[int, ...]) -> U64:
+        """Forward NTT of x[..., k, :] under modulus ``limbs[k]`` — used when
+        the carried limbs are not the prefix 0..L-1 (rescale correction,
+        key-switch decomposition).  Inputs may be lazily reduced (< 4q)."""
         n = self.n
-        psi = self._c(self.psi_, lvl)
-        q = self._c(self.q_, lvl)
-        two_q = self._c(self.two_q_, lvl)
-        qinv = self._c(self.qinv_, lvl)
+        psi = self._tbl_rows(self.psi_, limbs)
+        q = self._tbl_rows(self.q_, limbs)
+        two_q = self._tbl_rows(self.two_q_, limbs)
+        qinv = self._tbl_rows(self.qinv_, limbs)
+        u0 = self._tbl_rows(self.u0_, limbs)
 
         lo, hi = x
         batch = lo.shape[:-2]
@@ -167,16 +179,20 @@ class Ring:
             lo = jnp.stack([x_new[0], y_new[0]], axis=-2).reshape(*batch, L, n)
             hi = jnp.stack([x_new[1], y_new[1]], axis=-2).reshape(*batch, L, n)
             m *= 2
-        return modred.bred_add((lo, hi), q, self._c(self.u0_, lvl))
+        return modred.bred_add((lo, hi), q, u0)
 
     def intt(self, x: U64) -> U64:
         """Inverse negacyclic NTT (ring/ntt.go:89-139); exact output."""
-        lvl = self.level_of(x)
+        return self.intt_limbs(x, tuple(range(self.level_of(x) + 1)))
+
+    def intt_limbs(self, x: U64, limbs: tuple[int, ...]) -> U64:
+        """Inverse NTT with explicit limb-table indices."""
         n = self.n
-        psi_inv = self._c(self.psi_inv_, lvl)
-        q = self._c(self.q_, lvl)
-        two_q = self._c(self.two_q_, lvl)
-        qinv = self._c(self.qinv_, lvl)
+        psi_inv = self._tbl_rows(self.psi_inv_, limbs)
+        q = self._tbl_rows(self.q_, limbs)
+        two_q = self._tbl_rows(self.two_q_, limbs)
+        qinv = self._tbl_rows(self.qinv_, limbs)
+        n_inv = self._tbl_rows(self.n_inv_, limbs)
 
         lo, hi = x
         batch = lo.shape[:-2]
@@ -205,9 +221,7 @@ class Ring:
             lo = jnp.stack([x_new[0], y_new[0]], axis=-2).reshape(*batch, L, n)
             hi = jnp.stack([x_new[1], y_new[1]], axis=-2).reshape(*batch, L, n)
             h //= 2
-        return modred.mred(
-            (lo, hi), self._c(self.n_inv_, lvl), q, self._c(self.qinv_, lvl)
-        )
+        return modred.mred((lo, hi), n_inv, q, qinv)
 
     # -- coefficient-wise ops (ring/ring.go) -------------------------------
 
