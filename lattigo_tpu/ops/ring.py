@@ -303,6 +303,19 @@ class Ring:
         q, _, _, _, qinv = self._qc(a)
         return modred.mred(a, mont, q, qinv)
 
+    def add_scalar_bigint(self, a: U64, scalar: int) -> U64:
+        """a + scalar mod q per limb, arbitrary-precision scalar."""
+        lvl = self.level_of(a)
+        c = _tbl([scalar % q for q in self.moduli[: lvl + 1]], (lvl + 1, 1))
+        return modred.cred(u.add64(a, c), self._c(self.q_, lvl))
+
+    def sub_scalar_bigint(self, a: U64, scalar: int) -> U64:
+        lvl = self.level_of(a)
+        c = _tbl(
+            [(q - scalar % q) % q for q in self.moduli[: lvl + 1]], (lvl + 1, 1)
+        )
+        return modred.cred(u.add64(a, c), self._c(self.q_, lvl))
+
     def mul_scalar_bigint(self, a: U64, scalar: int) -> U64:
         """a * scalar mod q for an arbitrary-precision scalar."""
         lvl = self.level_of(a)
