@@ -1,0 +1,73 @@
+"""Headline benchmark: forward NTTs/sec, N=2^13, 60-bit moduli, one chip.
+
+Matches BASELINE.json config #1 (bit-exact vs ring/ntt_test.go semantics —
+the same transform validated against ring/test_data golden vectors in
+tests/test_ntt_golden.py).  Prints exactly one JSON line on stdout; extra
+diagnostics go to stderr.
+
+Baseline target: 1e6 NTTs/sec per chip (BASELINE.md); vs_baseline is
+value / 1e6.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from lattigo_tpu.ops.ring import Ring
+    from lattigo_tpu.ops import u64 as u
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    n = 8192
+    moduli = [576460752303439873, 576460752303702017]  # golden-vector 60-bit pair
+    ring = Ring(n, moduli)
+
+    B = 32  # batch of polynomials; NTTs per call = B * len(moduli)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, moduli[0], size=(B, len(moduli), n), dtype=np.uint64)
+    x %= np.array(moduli, dtype=np.uint64)[None, :, None]
+    X = u.from_u64(x)
+
+    ntt = jax.jit(ring.ntt)
+    y = ntt(X)
+    jax.block_until_ready(y)
+
+    # correctness cross-check vs the simple schedule on one sample
+    ref = u.to_u64(ring._ntt_simple((X[0][:1], X[1][:1]), (0, 1)))
+    got = u.to_u64((y[0][:1], y[1][:1]))
+    assert (ref == got).all(), "fast NTT mismatch vs reference schedule"
+    print("bit-exactness cross-check passed", file=sys.stderr)
+
+    # steady-state timing
+    iters = 30
+    t0 = time.time()
+    z = X
+    for _ in range(iters):
+        z = ntt(z)
+    jax.block_until_ready(z)
+    dt = time.time() - t0
+    n_ntts = B * len(moduli) * iters
+    rate = n_ntts / dt
+    print(f"{n_ntts} NTTs in {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "ntt_per_sec_n8192_60bit",
+                "value": round(rate, 1),
+                "unit": "NTT/s/chip",
+                "vs_baseline": round(rate / 1e6, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -112,6 +112,7 @@ class Ring:
         self.psi_ = u.from_u64(self.ntt_psi_host)
         self.psi_inv_ = u.from_u64(self.ntt_psi_inv_host)
         self.n_inv_ = _tbl(n_inv, (self.L, 1))
+        self._tw_cache: dict = {}
         self.allows_ntt = True
 
     # -- helpers -----------------------------------------------------------
@@ -142,10 +143,28 @@ class Ring:
         """
         return self.ntt_limbs(x, tuple(range(self.level_of(x) + 1)))
 
+    # The transform below has two implementations with identical (bit-exact)
+    # outputs:
+    #  * _ntt_simple: one reshape per stage, trailing dim shrinks to 1 — fine
+    #    on CPU/small N, catastrophic for TPU tiling at large N.
+    #  * _ntt_fast: stages with butterfly stride >= 128 run on an [R, 128]
+    #    view (full-lane tiles); the remaining stages run on the transposed
+    #    [128, R] view with host-precomputed per-stage twiddle planes, so no
+    #    stage ever materializes a tiny trailing dimension.  This is the
+    #    TPU-shaped formulation of the same Cooley-Tukey schedule (a
+    #    transpose-split akin to the four-step NTT).
+    _NTT_FAST_MIN = 4096
+    _LANE = 128
+
     def ntt_limbs(self, x: U64, limbs: tuple[int, ...]) -> U64:
         """Forward NTT of x[..., k, :] under modulus ``limbs[k]`` — used when
         the carried limbs are not the prefix 0..L-1 (rescale correction,
         key-switch decomposition).  Inputs may be lazily reduced (< 4q)."""
+        if self.n >= self._NTT_FAST_MIN:
+            return self._ntt_fast(x, limbs)
+        return self._ntt_simple(x, limbs)
+
+    def _ntt_simple(self, x: U64, limbs: tuple[int, ...]) -> U64:
         n = self.n
         psi = self._tbl_rows(self.psi_, limbs)
         q = self._tbl_rows(self.q_, limbs)
@@ -187,6 +206,11 @@ class Ring:
 
     def intt_limbs(self, x: U64, limbs: tuple[int, ...]) -> U64:
         """Inverse NTT with explicit limb-table indices."""
+        if self.n >= self._NTT_FAST_MIN:
+            return self._intt_fast(x, limbs)
+        return self._intt_simple(x, limbs)
+
+    def _intt_simple(self, x: U64, limbs: tuple[int, ...]) -> U64:
         n = self.n
         psi_inv = self._tbl_rows(self.psi_inv_, limbs)
         q = self._tbl_rows(self.q_, limbs)
@@ -221,6 +245,147 @@ class Ring:
             lo = jnp.stack([x_new[0], y_new[0]], axis=-2).reshape(*batch, L, n)
             hi = jnp.stack([x_new[1], y_new[1]], axis=-2).reshape(*batch, L, n)
             h //= 2
+        return modred.mred((lo, hi), n_inv, q, qinv)
+
+    # -- TPU-shaped NTT (transpose-split schedule) -------------------------
+
+    def _stage_twiddle(self, limbs, m, t, inverse) -> U64:
+        """[L, gc, 1, R] twiddle plane for a transposed-phase stage: element
+        (c, r) of the [C, R] view belongs to group r*(C//(2t)) + (c//(2t)),
+        twiddle = psi[m + group] (psi_inv for the inverse)."""
+        key = (limbs, m, t, inverse)
+        if key not in self._tw_cache:
+            C, R = self._LANE, self.n // self._LANE
+            gcn = C // (2 * t)
+            host = self.ntt_psi_inv_host if inverse else self.ntt_psi_host
+            idx = m + np.arange(R)[None, :] * gcn + np.arange(gcn)[:, None]
+            # cache HOST arrays only — device constants must be created inside
+            # the active trace (caching tracers leaks them across jits)
+            self._tw_cache[key] = host[np.array(limbs)][:, idx][:, :, None, :]
+        return u.from_u64(self._tw_cache[key])
+
+    @staticmethod
+    def _transpose(lo, hi, batch, L, rows, cols):
+        lo = lo.reshape(*batch, L, rows, cols).swapaxes(-1, -2)
+        hi = hi.reshape(*batch, L, rows, cols).swapaxes(-1, -2)
+        return lo.reshape(*batch, L, rows * cols), hi.reshape(*batch, L, rows * cols)
+
+    def _ntt_fast(self, x: U64, limbs: tuple[int, ...]) -> U64:
+        n, C = self.n, self._LANE
+        R = n // C
+        psi = self._tbl_rows(self.psi_, limbs)
+        q = self._tbl_rows(self.q_, limbs)
+        two_q = self._tbl_rows(self.two_q_, limbs)
+        qinv = self._tbl_rows(self.qinv_, limbs)
+        u0 = self._tbl_rows(self.u0_, limbs)
+
+        lo, hi = x
+        batch = lo.shape[:-2]
+        L = lo.shape[-2]
+        s1 = lambda tbl: (tbl[0][..., None], tbl[1][..., None])
+        s2 = lambda tbl: (tbl[0][..., None, None], tbl[1][..., None, None])
+
+        def butterfly(uu, vv, f, q_b, two_q_b, qinv_b):
+            uu = u.select64(u.lt64(two_q_b, uu), u.sub64(uu, two_q_b), uu)
+            vv = modred.mred_constant(vv, f, q_b, qinv_b)
+            return u.add64(uu, vv), u.sub64(u.add64(uu, two_q_b), vv)
+
+        # phase A: stride t >= C, [*, L, m, 2, t] views (t a multiple of 128)
+        m = 1
+        while n // (2 * m) >= C:
+            t = n // (2 * m)
+            shp = (*batch, L, m, 2, t)
+            lo_r, hi_r = lo.reshape(shp), hi.reshape(shp)
+            f = (psi[0][:, m : 2 * m, None], psi[1][:, m : 2 * m, None])
+            x_new, y_new = butterfly(
+                (lo_r[..., 0, :], hi_r[..., 0, :]),
+                (lo_r[..., 1, :], hi_r[..., 1, :]),
+                f, s1(q), s1(two_q), s1(qinv),
+            )
+            lo = jnp.stack([x_new[0], y_new[0]], axis=-2).reshape(*batch, L, n)
+            hi = jnp.stack([x_new[1], y_new[1]], axis=-2).reshape(*batch, L, n)
+            m *= 2
+
+        # phase B: stride t < C on the transposed [C, R] view
+        lo, hi = self._transpose(lo, hi, batch, L, R, C)
+        while m < n:
+            t = n // (2 * m)
+            gc = C // (2 * t)
+            shp = (*batch, L, gc, 2, t, R)
+            lo_r, hi_r = lo.reshape(shp), hi.reshape(shp)
+            f = self._stage_twiddle(limbs, m, t, inverse=False)
+            x_new, y_new = butterfly(
+                (lo_r[..., 0, :, :], hi_r[..., 0, :, :]),
+                (lo_r[..., 1, :, :], hi_r[..., 1, :, :]),
+                f, s2(q), s2(two_q), s2(qinv),
+            )
+            lo = jnp.stack([x_new[0], y_new[0]], axis=-3).reshape(*batch, L, n)
+            hi = jnp.stack([x_new[1], y_new[1]], axis=-3).reshape(*batch, L, n)
+            m *= 2
+        lo, hi = self._transpose(lo, hi, batch, L, C, R)
+        return modred.bred_add((lo, hi), q, u0)
+
+    def _intt_fast(self, x: U64, limbs: tuple[int, ...]) -> U64:
+        n, C = self.n, self._LANE
+        R = n // C
+        psi_inv = self._tbl_rows(self.psi_inv_, limbs)
+        q = self._tbl_rows(self.q_, limbs)
+        two_q = self._tbl_rows(self.two_q_, limbs)
+        qinv = self._tbl_rows(self.qinv_, limbs)
+        n_inv = self._tbl_rows(self.n_inv_, limbs)
+
+        lo, hi = x
+        batch = lo.shape[:-2]
+        L = lo.shape[-2]
+        s1 = lambda tbl: (tbl[0][..., None], tbl[1][..., None])
+        s2 = lambda tbl: (tbl[0][..., None, None], tbl[1][..., None, None])
+
+        def butterfly(uu, vv, f, q_b, two_q_b, qinv_b):
+            x_new = u.add64(uu, vv)
+            x_new = u.select64(
+                u.lt64(two_q_b, x_new), u.sub64(x_new, two_q_b), x_new
+            )
+            y_new = modred.mred_constant(
+                u.sub64(u.add64(uu, two_q_b), vv), f, q_b, qinv_b
+            )
+            return x_new, y_new
+
+        # phase B first: stride t < C on the transposed [C, R] view
+        lo, hi = self._transpose(lo, hi, batch, L, R, C)
+        t = 1
+        while t < C:
+            h = n // (2 * t)
+            gc = C // (2 * t)
+            shp = (*batch, L, gc, 2, t, R)
+            lo_r, hi_r = lo.reshape(shp), hi.reshape(shp)
+            f = self._stage_twiddle(limbs, h, t, inverse=True)
+            x_new, y_new = butterfly(
+                (lo_r[..., 0, :, :], hi_r[..., 0, :, :]),
+                (lo_r[..., 1, :, :], hi_r[..., 1, :, :]),
+                f, s2(q), s2(two_q), s2(qinv),
+            )
+            lo = jnp.stack([x_new[0], y_new[0]], axis=-3).reshape(*batch, L, n)
+            hi = jnp.stack([x_new[1], y_new[1]], axis=-3).reshape(*batch, L, n)
+            t *= 2
+        lo, hi = self._transpose(lo, hi, batch, L, C, R)
+
+        # phase A: stride t >= C, [*, L, h, 2, t] views
+        while t <= n // 2:
+            h = n // (2 * t)
+            shp = (*batch, L, h, 2, t)
+            lo_r, hi_r = lo.reshape(shp), hi.reshape(shp)
+            f = (
+                psi_inv[0][:, h : 2 * h, None],
+                psi_inv[1][:, h : 2 * h, None],
+            )
+            x_new, y_new = butterfly(
+                (lo_r[..., 0, :], hi_r[..., 0, :]),
+                (lo_r[..., 1, :], hi_r[..., 1, :]),
+                f, s1(q), s1(two_q), s1(qinv),
+            )
+            lo = jnp.stack([x_new[0], y_new[0]], axis=-2).reshape(*batch, L, n)
+            hi = jnp.stack([x_new[1], y_new[1]], axis=-2).reshape(*batch, L, n)
+            t *= 2
         return modred.mred((lo, hi), n_inv, q, qinv)
 
     # -- coefficient-wise ops (ring/ring.go) -------------------------------

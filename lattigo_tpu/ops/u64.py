@@ -26,11 +26,17 @@ _U32 = jnp.uint32
 
 
 def from_u64(a) -> U64:
-    """numpy uint64 array -> (lo, hi) uint32 device pair."""
+    """numpy uint64 array -> (lo, hi) uint32 pair.
+
+    Returns HOST numpy arrays on purpose: jnp ops consume them transparently,
+    jit embeds them as constants, and — critically — objects that cache these
+    pairs (ring contexts, basis-extension tables, twiddle caches) never hold
+    device tracers, so they can be built inside or outside a jit trace alike.
+    """
     a = np.asarray(a, dtype=np.uint64)
     return (
-        jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-        jnp.asarray((a >> np.uint64(32)).astype(np.uint32)),
+        (a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (a >> np.uint64(32)).astype(np.uint32),
     )
 
 
