@@ -40,7 +40,9 @@ def main():
     jax.block_until_ready(y)
 
     # correctness cross-check vs the simple schedule on one sample
-    ref = u.to_u64(ring._ntt_simple((X[0][:1], X[1][:1]), (0, 1)))
+    # (jitted — eager dispatch over the axon tunnel is pathologically slow)
+    simple = jax.jit(lambda a: ring._ntt_simple(a, (0, 1)))
+    ref = u.to_u64(simple((X[0][:1], X[1][:1])))
     got = u.to_u64((y[0][:1], y[1][:1]))
     assert (ref == got).all(), "fast NTT mismatch vs reference schedule"
     print("bit-exactness cross-check passed", file=sys.stderr)

@@ -48,7 +48,7 @@ def special_invfft(values: np.ndarray, m: int) -> np.ndarray:
     n = len(values)
     rot_group, roots = _fft_tables(m)
     length = n
-    while length >= 1:
+    while length >= 2:  # the reference's len==1 iteration is a no-op
         lenh = length >> 1
         lenq = length << 2
         gap = m // lenq
@@ -77,7 +77,7 @@ def special_fft(values: np.ndarray, m: int) -> np.ndarray:
         idx = ((rot_group[:lenh] % lenq) * gap).astype(np.int64)
         w = roots[idx]
         v2 = values.reshape(-1, length)
-        uu = v2[:, :lenh]
+        uu = v2[:, :lenh].copy()  # not a view: first write would corrupt it
         vv = v2[:, lenh:] * w[None, :]
         v2[:, :lenh] = uu + vv
         v2[:, lenh:] = uu - vv

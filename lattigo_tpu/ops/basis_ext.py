@@ -219,6 +219,21 @@ class Decomposer:
             self._params[key] = ModUpParams(src, dst)
         return self._params[key]
 
+    def source_range(self, level: int, beta_idx: int) -> tuple[int, int]:
+        """(start, count) of the source limbs block ``beta_idx`` actually
+        reads at ``level`` — the limbs whose values pass through unmodified
+        (callers may skip re-NTT-ing exactly these)."""
+        alpha_i = self.xalpha[beta_idx]
+        start = beta_idx * self.alpha
+        end = start + alpha_i
+        if (end > level + 1 and (level + 1) % self.n_p == 1) or alpha_i == 1:
+            return start, 1
+        if level >= alpha_i + start:
+            index = alpha_i - 2
+        else:
+            index = (level - 1) % self.alpha
+        return start, index + 2
+
     def decompose_and_split(self, level: int, beta_idx: int, x: U64) -> tuple[U64, U64]:
         """x ([level+1, N] basis Q, coefficient domain) -> block ``beta_idx``
         of the decomposition, returned in basis Q[0..level] and basis P

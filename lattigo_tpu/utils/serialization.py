@@ -1,0 +1,204 @@
+"""Binary serialization, byte-compatible with the reference's marshalers.
+
+Formats (all big-endian):
+
+* Poly (ring/ring_object.go:161-289): ``[log2(N) u8][#moduli u8]`` then one
+  row of N uint64 coefficients per modulus.
+* Ciphertext (bfv/marshaler.go:9-60, ckks/marshaler.go adds the scale):
+  ``[degree+1 u8][isNTT u8]`` then the polys.
+* SecretKey/PublicKey/SwitchingKey/EvaluationKey/RotationKeys mirror
+  bfv/marshaler.go:75-443.
+
+This layer doubles as checkpoint/resume (SURVEY.md section 5): every object a
+computation needs to persist round-trips through these codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from lattigo_tpu.ops import u64 as u
+
+U64 = u.U64
+
+
+# -- Poly -------------------------------------------------------------------
+
+
+def poly_to_bytes(x: U64) -> bytes:
+    arr = u.to_u64(x)
+    if arr.ndim != 2:
+        raise ValueError("poly_to_bytes expects a [L, N] poly")
+    L, n = arr.shape
+    header = bytes([n.bit_length() - 1, L])
+    return header + arr.astype(">u8").tobytes()
+
+
+def poly_from_bytes(data: bytes) -> tuple[U64, int]:
+    """Returns (poly, bytes consumed)."""
+    n = 1 << data[0]
+    L = data[1]
+    count = L * n
+    body = np.frombuffer(data[2 : 2 + count * 8], dtype=">u8").reshape(L, n)
+    return u.from_u64(body.astype(np.uint64)), 2 + count * 8
+
+
+# -- Ciphertext / Plaintext -------------------------------------------------
+
+
+def bfv_ciphertext_to_bytes(ct) -> bytes:
+    out = bytes([len(ct.value), 1 if ct.is_ntt else 0])
+    for p in ct.value:
+        out += poly_to_bytes(p)
+    return out
+
+
+def bfv_ciphertext_from_bytes(data: bytes):
+    from lattigo_tpu.models.bfv.elements import Ciphertext
+
+    degree_p1 = data[0]
+    is_ntt = data[1] == 1
+    polys = []
+    ptr = 2
+    for _ in range(degree_p1):
+        p, inc = poly_from_bytes(data[ptr:])
+        polys.append(p)
+        ptr += inc
+    return Ciphertext(polys, is_ntt)
+
+
+def ckks_ciphertext_to_bytes(ct) -> bytes:
+    """ckks adds the float64 scale to the metadata (ckks/marshaler.go)."""
+    out = bytes([len(ct.value), 1 if ct.is_ntt else 0])
+    out += struct.pack(">d", ct.scale)
+    for p in ct.value:
+        out += poly_to_bytes(p)
+    return out
+
+
+def ckks_ciphertext_from_bytes(data: bytes):
+    from lattigo_tpu.models.ckks.elements import Ciphertext
+
+    degree_p1 = data[0]
+    is_ntt = data[1] == 1
+    (scale,) = struct.unpack(">d", data[2:10])
+    polys = []
+    ptr = 10
+    for _ in range(degree_p1):
+        p, inc = poly_from_bytes(data[ptr:])
+        polys.append(p)
+        ptr += inc
+    return Ciphertext(polys, scale, is_ntt)
+
+
+# -- keys -------------------------------------------------------------------
+
+
+def secret_key_to_bytes(sk) -> bytes:
+    return poly_to_bytes(sk.sk)
+
+
+def secret_key_from_bytes(data: bytes, cls):
+    p, _ = poly_from_bytes(data)
+    return cls(p)
+
+
+def public_key_to_bytes(pk) -> bytes:
+    return poly_to_bytes(pk.pk[0]) + poly_to_bytes(pk.pk[1])
+
+
+def public_key_from_bytes(data: bytes, cls):
+    p0, inc = poly_from_bytes(data)
+    p1, _ = poly_from_bytes(data[inc:])
+    return cls((p0, p1))
+
+
+def switching_key_to_bytes(swk) -> bytes:
+    """[beta u8] then per block: key0 poly, key1 poly
+    (bfv/marshaler.go:248-273)."""
+    beta = swk.key0[0].shape[0]
+    out = bytes([beta])
+    for i in range(beta):
+        out += poly_to_bytes((swk.key0[0][i], swk.key0[1][i]))
+        out += poly_to_bytes((swk.key1[0][i], swk.key1[1][i]))
+    return out
+
+
+def switching_key_from_bytes(data: bytes, cls) -> tuple[object, int]:
+    import jax.numpy as jnp
+
+    beta = data[0]
+    ptr = 1
+    k0, k1 = [], []
+    for _ in range(beta):
+        p0, inc = poly_from_bytes(data[ptr:])
+        ptr += inc
+        p1, inc = poly_from_bytes(data[ptr:])
+        ptr += inc
+        k0.append(p0)
+        k1.append(p1)
+    stack = lambda ps: (
+        jnp.stack([p[0] for p in ps]),
+        jnp.stack([p[1] for p in ps]),
+    )
+    return cls(stack(k0), stack(k1)), ptr
+
+
+def evaluation_key_to_bytes(evk) -> bytes:
+    keys = evk.evakey if isinstance(evk.evakey, list) else [evk.evakey]
+    out = bytes([len(keys)])
+    for swk in keys:
+        out += switching_key_to_bytes(swk)
+    return out
+
+
+def evaluation_key_from_bytes(data: bytes, evk_cls, swk_cls, single: bool = False):
+    count = data[0]
+    ptr = 1
+    keys = []
+    for _ in range(count):
+        swk, inc = switching_key_from_bytes(data[ptr:], swk_cls)
+        keys.append(swk)
+        ptr += inc
+    return evk_cls(keys[0] if single else keys)
+
+
+def rotation_keys_to_bytes(rk) -> bytes:
+    """[#left u16][per key: u16 k + swk] [#right ...] [has_row/conj u8 + swk]."""
+    extra = getattr(rk, "row", None)
+    if extra is None:
+        extra = getattr(rk, "conjugate", None)
+    out = struct.pack(">H", len(rk.left))
+    for k in sorted(rk.left):
+        out += struct.pack(">H", k) + switching_key_to_bytes(rk.left[k])
+    out += struct.pack(">H", len(rk.right))
+    for k in sorted(rk.right):
+        out += struct.pack(">H", k) + switching_key_to_bytes(rk.right[k])
+    out += bytes([1 if extra is not None else 0])
+    if extra is not None:
+        out += switching_key_to_bytes(extra)
+    return out
+
+
+def rotation_keys_from_bytes(data: bytes, rk_cls, swk_cls):
+    rk = rk_cls()
+    ptr = 0
+    for attr in ("left", "right"):
+        (count,) = struct.unpack(">H", data[ptr : ptr + 2])
+        ptr += 2
+        for _ in range(count):
+            (k,) = struct.unpack(">H", data[ptr : ptr + 2])
+            ptr += 2
+            swk, inc = switching_key_from_bytes(data[ptr:], swk_cls)
+            ptr += inc
+            getattr(rk, attr)[k] = swk
+    if data[ptr] == 1:
+        ptr += 1
+        swk, inc = switching_key_from_bytes(data[ptr:], swk_cls)
+        if hasattr(rk, "row"):
+            rk.row = swk
+        else:
+            rk.conjugate = swk
+    return rk
