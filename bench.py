@@ -29,7 +29,7 @@ def main():
     moduli = [576460752303439873, 576460752303702017]  # golden-vector 60-bit pair
     ring = Ring(n, moduli)
 
-    B = 32  # batch of polynomials; NTTs per call = B * len(moduli)
+    B = 128  # batch of polynomials; NTTs per call = B * len(moduli)
     rng = np.random.default_rng(0)
     x = rng.integers(0, moduli[0], size=(B, len(moduli), n), dtype=np.uint64)
     x %= np.array(moduli, dtype=np.uint64)[None, :, None]
@@ -39,10 +39,12 @@ def main():
     y = ntt(X)
     jax.block_until_ready(y)
 
-    # correctness cross-check vs the simple schedule on one sample
-    # (jitted — eager dispatch over the axon tunnel is pathologically slow)
-    simple = jax.jit(lambda a: ring._ntt_simple(a, (0, 1)))
-    ref = u.to_u64(simple((X[0][:1], X[1][:1])))
+    # correctness cross-check: reference schedule on the CPU backend (its
+    # TPU compile is needlessly slow), one sample, bit-exact
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x0 = (jax.device_put(X[0][:1], cpu), jax.device_put(X[1][:1], cpu))
+        ref = u.to_u64(jax.jit(lambda a: ring._ntt_simple(a, (0, 1)))(x0))
     got = u.to_u64((y[0][:1], y[1][:1]))
     assert (ref == got).all(), "fast NTT mismatch vs reference schedule"
     print("bit-exactness cross-check passed", file=sys.stderr)

@@ -1,0 +1,418 @@
+"""Pallas TPU kernel for the negacyclic NTT/InvNTT.
+
+Design (v2, roll-based): one grid program transforms one RNS limb of one
+polynomial entirely in VMEM.  The coefficient vector lives in a single
+[64, 128] layout for ALL stages — no reshapes, no interleaves, no transposes
+(measured 170x slower when staged through Mosaic relayouts).  Butterfly
+partners are fetched with pltpu.roll along sublanes (stride >= 128) or lanes
+(stride < 128), and each element computes its own output with a U/V select:
+2x the multiplies of the pair-shared form, but every op runs at full vector
+width, which measures ~2 orders of magnitude faster.
+
+Twiddles are full per-stage planes precomputed host-side in the same
+[64, 128] layout (plain + Shoup forms).  Programs are ordered limb-major so
+consecutive programs reuse the resident twiddle block instead of re-DMAing
+it.  Outputs are bit-identical to the reference schedule (exact final
+reduction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lattigo_tpu.ops import modred
+from lattigo_tpu.ops import u64 as u
+
+U64 = u.U64
+_C = 128  # lane width
+_SUB = 8  # f32 sublane quantum (rows per tile)
+
+
+def _scal(ref, k):
+    return (
+        jnp.reshape(ref[0, 0, 2 * k], (1, 1)),
+        jnp.reshape(ref[0, 0, 2 * k + 1], (1, 1)),
+    )
+
+
+def _fold(x, two_q):
+    return u.select64(u.lt64(two_q, x), u.sub64(x, two_q), x)
+
+
+def _stages(n: int):
+    """Butterfly strides t = n/2 ... 1 (forward order)."""
+    out = []
+    t = n // 2
+    while t >= 1:
+        out.append(t)
+        t //= 2
+    return out
+
+
+def _roll_exchange(x: U64, axis: int, dist: int) -> U64:
+    """Default partner fetch: pltpu.roll with the (normalized) stage shift."""
+    s = dist % x[0].shape[axis]
+    return (pltpu.roll(x[0], s, axis), pltpu.roll(x[1], s, axis))
+
+
+EXCHANGE = _roll_exchange
+
+
+def _mm_exchange(x: U64, P: jnp.ndarray, axis: int) -> U64:
+    """Partner fetch as an MXU matmul with a 0/1 permutation matrix.
+
+    pltpu.roll / vector shuffles measure ~40x slower than the whole butterfly
+    arithmetic on this hardware; a permutation matmul is exact for 16-bit
+    halves in f32 (single nonzero per row) and rides the otherwise-idle MXU.
+    """
+    dn = (((1,), (0,)), ((), ())) if axis == 0 else (((1,), (0,)), ((), ()))
+
+    def one(plane):
+        # Mosaic lacks direct u32<->f32 casts; route through int32 (values
+        # are < 2^16 so every step is exact)
+        h0 = (plane & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+        h1 = (plane >> 16).astype(jnp.int32).astype(jnp.float32)
+        if axis == 0:
+            r0 = jax.lax.dot_general(P, h0, dn, preferred_element_type=jnp.float32)
+            r1 = jax.lax.dot_general(P, h1, dn, preferred_element_type=jnp.float32)
+        else:
+            r0 = jax.lax.dot_general(h0, P, dn, preferred_element_type=jnp.float32)
+            r1 = jax.lax.dot_general(h1, P, dn, preferred_element_type=jnp.float32)
+        i0 = r0.astype(jnp.int32).astype(jnp.uint32)
+        i1 = r1.astype(jnp.int32).astype(jnp.uint32)
+        return i0 | (i1 << 16)
+
+    return one(x[0]), one(x[1])
+
+
+def _is_u_mask(n: int, t: int):
+    """Boolean [R, C] plane: True where the element is the U half of its
+    butterfly pair at stride t (flat index p: (p % 2t) < t)."""
+    R = n // _C
+    if t >= _C:
+        s = t // _C
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, _C), 0)
+        return (row % (2 * s)) < s
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, _C), 1)
+    return (col % (2 * t)) < t
+
+
+def _kernel(n, inverse, consts_ref, xl, xh, tw_ref, pa_ref, pb_ref, ol, oh):
+    R = n // _C
+    q = _scal(consts_ref, 0)
+    two_q = _scal(consts_ref, 1)
+
+    x = (xl[0].reshape(R, _C), xh[0].reshape(R, _C))
+
+    stages = _stages(n)
+    if inverse:
+        stages = stages[::-1]
+
+    ia = ib = 0
+    for si, t in enumerate(stages):
+        f = (tw_ref[0, si, 0], tw_ref[0, si, 1])
+        fs = (tw_ref[0, si, 2], tw_ref[0, si, 3])
+        is_u = _is_u_mask(n, t)
+        axis, dist = (0, t // _C) if t >= _C else (1, t)
+
+        if not inverse:
+            folded = _fold(x, two_q)
+            mont = modred.mul_shoup(x, f, fs, q)        # V*psi at V positions
+            mv_at_u = EXCHANGE(mont, axis, -dist)       # U <- partner V product
+            fu_at_v = EXCHANGE(folded, axis, dist)      # V <- partner U folded
+            out_u = u.add64(folded, mv_at_u)
+            out_v = u.sub64(u.add64(fu_at_v, two_q), mont)
+            x = u.select64(is_u, out_u, out_v)
+        else:
+            v_at_u = EXCHANGE(x, axis, -dist)           # U <- partner V
+            u_at_v = EXCHANGE(x, axis, dist)            # V <- partner U
+            sum_u = _fold(u.add64(x, v_at_u), two_q)
+            diff = u.sub64(u.add64(u_at_v, two_q), x)
+            prod_v = modred.mul_shoup(diff, f, fs, q)
+            x = u.select64(is_u, sum_u, prod_v)
+
+    if not inverse:
+        u0 = _scal(consts_ref, 2)
+        r = modred.bred_add(x, q, u0)
+    else:
+        ninv = _scal(consts_ref, 3)
+        ninv_s = _scal(consts_ref, 4)
+        r = modred.cred(modred.mul_shoup(x, ninv, ninv_s, q), q)
+    ol[0] = r[0].reshape(1, n)
+    oh[0] = r[1].reshape(1, n)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(n: int, n_limbs: int, rows_per_limb: int, inverse: bool, interpret: bool):
+    R = n // _C
+    n_stages = len(_stages(n))
+    n_a = sum(1 for t in _stages(n) if t >= _C)
+    n_b = n_stages - n_a
+    grid = n_limbs * rows_per_limb
+    kernel = functools.partial(_kernel, n, inverse)
+    # limb-major row order: consecutive programs share the twiddle block
+    limb3 = lambda i: (jax.lax.div(i, rows_per_limb), 0, 0)
+    limb5 = lambda i: (jax.lax.div(i, rows_per_limb), 0, 0, 0, 0)
+    row3 = lambda i: (i, 0, 0)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 16), limb3, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n), row3, memory_space=vm),
+            pl.BlockSpec((1, 1, n), row3, memory_space=vm),
+            pl.BlockSpec((1, n_stages, 4, R, _C), limb5, memory_space=vm),
+            # permutation matmul tables, limb-independent: one fetch
+            pl.BlockSpec(
+                (n_a, 2, R, R), lambda i: (0, 0, 0, 0), memory_space=vm
+            ),
+            pl.BlockSpec(
+                (n_b, 2, _C, _C), lambda i: (0, 0, 0, 0), memory_space=vm
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, n), row3, memory_space=vm),
+            pl.BlockSpec((1, 1, n), row3, memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, 1, n), jnp.uint32),
+            jax.ShapeDtypeStruct((grid, 1, n), jnp.uint32),
+        ],
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _tables(ring, limbs: tuple[int, ...], inverse: bool):
+    n = ring.n
+    R = n // _C
+    idx = np.array(limbs)
+    plain, shoup = ring.shoup_twiddles(inverse)
+    plain, shoup = plain[idx], shoup[idx]
+    L = len(limbs)
+    stages = _stages(n)
+    if inverse:
+        stages = stages[::-1]
+
+    tw = np.zeros((L, len(stages), 4, R, _C), dtype=np.uint32)
+    for si, t in enumerate(stages):
+        base = n // (2 * t)  # psi index base == group count
+        full_p = np.repeat(plain[:, base : 2 * base], 2 * t, axis=1)  # [L, n]
+        full_s = np.repeat(shoup[:, base : 2 * base], 2 * t, axis=1)
+        tw[:, si, 0] = (full_p & 0xFFFFFFFF).astype(np.uint32).reshape(L, R, _C)
+        tw[:, si, 1] = (full_p >> 32).astype(np.uint32).reshape(L, R, _C)
+        tw[:, si, 2] = (full_s & 0xFFFFFFFF).astype(np.uint32).reshape(L, R, _C)
+        tw[:, si, 3] = (full_s >> 32).astype(np.uint32).reshape(L, R, _C)
+
+    def perm(size, d):
+        m = np.zeros((size, size), dtype=np.float32)
+        m[np.arange(size), (np.arange(size) + d) % size] = 1.0
+        return m
+
+    pa_list, pb_list = [], []
+    for t in stages:
+        if t >= _C:
+            d = t // _C
+            # used as P @ h: row i reads source row (i +/- d)
+            pa_list.append(np.stack([perm(R, d), perm(R, -d)]))
+        else:
+            # used as h @ Q: Q = M^T so column i reads source lane (i +/- d)
+            pb_list.append(np.stack([perm(_C, t).T, perm(_C, -t).T]))
+    pa = np.stack(pa_list) if pa_list else np.zeros((0, 2, R, R), np.float32)
+    pb = np.stack(pb_list) if pb_list else np.zeros((0, 2, _C, _C), np.float32)
+
+    consts = np.zeros((L, 1, 16), dtype=np.uint32)
+    for k, l in enumerate(limbs):
+        q = ring.moduli[l]
+        ninv_mont = int(
+            u.to_u64((ring.n_inv_[0][l : l + 1, 0], ring.n_inv_[1][l : l + 1, 0]))[0]
+        )
+        ninv = ninv_mont * pow(1 << 64, -1, q) % q
+        vals = [q, 2 * q, ring.bred[l][0], ninv, (ninv << 64) // q]
+        for j, v in enumerate(vals):
+            consts[k, 0, 2 * j] = v & 0xFFFFFFFF
+            consts[k, 0, 2 * j + 1] = (v >> 32) & 0xFFFFFFFF
+    return consts, tw, pa, pb
+
+
+def ntt_pallas(ring, x: U64, limbs: tuple[int, ...], inverse: bool = False, interpret: bool = False) -> U64:
+    """Transform x [..., L, N]: one Pallas program per (batch row, limb),
+    limb-major so twiddle blocks stay VMEM-resident across programs."""
+    lo, hi = x
+    batch = lo.shape[:-2]
+    L = lo.shape[-2]
+    n = ring.n
+    assert L == len(limbs)
+    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    grid = B * L
+
+    consts, tw, pa, pb = _tables(ring, tuple(limbs), inverse)
+    call = _build_call(n, L, B, inverse, interpret)
+
+    # [.., L, n] -> limb-major rows [L, B, n]
+    lo_r = lo.reshape(B, L, n).swapaxes(0, 1).reshape(grid, 1, n)
+    hi_r = hi.reshape(B, L, n).swapaxes(0, 1).reshape(grid, 1, n)
+    ol, oh = call(consts, lo_r, hi_r, tw, pa, pb)
+    ol = ol.reshape(L, B, n).swapaxes(0, 1).reshape(*batch, L, n)
+    oh = oh.reshape(L, B, n).swapaxes(0, 1).reshape(*batch, L, n)
+    return ol, oh
+
+
+# ---------------------------------------------------------------------------
+# Batch-on-lanes kernel: the TPU-native schedule.
+#
+# 64 polynomials ride the lane axis; coefficients live on sublanes, so every
+# butterfly stage is a sublane-only regrouping (the lane dimension never
+# changes) and the butterfly is pair-shared: fold U, one Shoup product for V,
+# no masks, no rolls, no transposes.  This sidesteps every Mosaic relayout
+# pathology found with roll/permutation formulations (see git history).
+# ---------------------------------------------------------------------------
+
+_LANES = 64
+
+
+def _kernel_bl(n, inverse, consts_ref, xl, xh, wpl, wph, wsl, wsh, ol, oh):
+    q = _scal(consts_ref, 0)
+    two_q = _scal(consts_ref, 1)
+    q3 = (q[0].reshape(1, 1, 1), q[1].reshape(1, 1, 1))
+    two_q3 = (two_q[0].reshape(1, 1, 1), two_q[1].reshape(1, 1, 1))
+
+    x = (xl[0], xh[0])            # (N, LANES)
+    wp = (wpl[0], wph[0])         # (N, 1, 1)
+    ws = (wsl[0], wsh[0])
+
+    stages = _stages(n)
+    if inverse:
+        stages = stages[::-1]
+
+    for t in stages:
+        m = n // (2 * t)
+        lo_r = x[0].reshape(m, 2, t, _LANES)
+        hi_r = x[1].reshape(m, 2, t, _LANES)
+        uu = (lo_r[:, 0], hi_r[:, 0])
+        vv = (lo_r[:, 1], hi_r[:, 1])
+        f = (wp[0][m : 2 * m], wp[1][m : 2 * m])          # (m, 1, 1)
+        fs = (ws[0][m : 2 * m], ws[1][m : 2 * m])
+
+        if not inverse:
+            uu = _fold(uu, two_q3)
+            vv = modred.mul_shoup(vv, f, fs, q3)
+            x_new = u.add64(uu, vv)
+            y_new = u.sub64(u.add64(uu, two_q3), vv)
+        else:
+            x_new = _fold(u.add64(uu, vv), two_q3)
+            y_new = modred.mul_shoup(
+                u.sub64(u.add64(uu, two_q3), vv), f, fs, q3
+            )
+
+        lo = jnp.stack([x_new[0], y_new[0]], axis=1)       # (m, 2, t, LANES)
+        hi = jnp.stack([x_new[1], y_new[1]], axis=1)
+        x = (lo.reshape(n, _LANES), hi.reshape(n, _LANES))
+
+    if not inverse:
+        u0 = _scal(consts_ref, 2)
+        r = modred.bred_add(x, q, u0)
+    else:
+        ninv = _scal(consts_ref, 3)
+        ninv_s = _scal(consts_ref, 4)
+        r = modred.cred(modred.mul_shoup(x, ninv, ninv_s, q), q)
+    ol[0] = r[0]
+    oh[0] = r[1]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_bl(n: int, n_limbs: int, n_batches: int, inverse: bool, interpret: bool):
+    kernel = functools.partial(_kernel_bl, n, inverse)
+    grid = n_limbs * n_batches
+    limb3 = lambda i: (jax.lax.div(i, n_batches), 0, 0)
+    limb4 = lambda i: (jax.lax.div(i, n_batches), 0, 0, 0)
+    row3 = lambda i: (i, 0, 0)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 16), limb3, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, _LANES), row3, memory_space=vm),
+            pl.BlockSpec((1, n, _LANES), row3, memory_space=vm),
+            pl.BlockSpec((1, n, 1, 1), limb4, memory_space=vm),
+            pl.BlockSpec((1, n, 1, 1), limb4, memory_space=vm),
+            pl.BlockSpec((1, n, 1, 1), limb4, memory_space=vm),
+            pl.BlockSpec((1, n, 1, 1), limb4, memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, _LANES), row3, memory_space=vm),
+            pl.BlockSpec((1, n, _LANES), row3, memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, n, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((grid, n, _LANES), jnp.uint32),
+        ],
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _tables_bl(ring, limbs: tuple[int, ...], inverse: bool):
+    """Per-limb psi tables as (N, 1) columns + the SMEM constant rows."""
+    idx = np.array(limbs)
+    plain, shoup = ring.shoup_twiddles(inverse)
+    plain, shoup = plain[idx], shoup[idx]
+    consts, _, _, _ = _tables(ring, limbs, inverse)[:4] if False else (None,) * 4
+    # reuse the constant packing from _tables without its twiddle planes
+    L = len(limbs)
+    consts = np.zeros((L, 1, 16), dtype=np.uint32)
+    for k, l in enumerate(limbs):
+        q = ring.moduli[l]
+        ninv_mont = int(
+            u.to_u64((ring.n_inv_[0][l : l + 1, 0], ring.n_inv_[1][l : l + 1, 0]))[0]
+        )
+        ninv = ninv_mont * pow(1 << 64, -1, q) % q
+        vals = [q, 2 * q, ring.bred[l][0], ninv, (ninv << 64) // q]
+        for j, v in enumerate(vals):
+            consts[k, 0, 2 * j] = v & 0xFFFFFFFF
+            consts[k, 0, 2 * j + 1] = (v >> 32) & 0xFFFFFFFF
+    col = lambda t: t[:, :, None, None]
+    wp = u.from_u64(col(plain))
+    ws = u.from_u64(col(shoup))
+    return consts, wp, ws
+
+
+def ntt_pallas_batched(ring, x: U64, limbs: tuple[int, ...], inverse: bool = False, interpret: bool = False) -> U64:
+    """Batch-on-lanes transform: requires total batch divisible by 64 (the
+    wrapper pads otherwise).  x: [..., L, N]."""
+    lo, hi = x
+    batch = lo.shape[:-2]
+    L = lo.shape[-2]
+    n = ring.n
+    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    pad = (-B) % _LANES
+    nb = (B + pad) // _LANES
+
+    consts, wp, ws = _tables_bl(ring, tuple(limbs), inverse)
+    call = _build_call_bl(n, L, nb, inverse, interpret)
+
+    def to_lanes(a):
+        a = a.reshape(B, L, n)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad, L, n), dtype=a.dtype)], axis=0
+            )
+        # [B', L, n] -> [L, nb, n, LANES]
+        a = a.transpose(1, 0, 2).reshape(L, nb, _LANES, n)
+        return a.swapaxes(-1, -2).reshape(L * nb, n, _LANES)
+
+    def from_lanes(a):
+        a = a.reshape(L, nb, n, _LANES).swapaxes(-1, -2)
+        a = a.reshape(L, nb * _LANES, n)[:, :B].transpose(1, 0, 2)
+        return a.reshape(*batch, L, n)
+
+    ol, oh = call(consts, to_lanes(lo), to_lanes(hi), wp[0], wp[1], ws[0], ws[1])
+    return from_lanes(ol), from_lanes(oh)

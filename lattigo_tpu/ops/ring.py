@@ -109,6 +109,8 @@ class Ring:
         self.psi_inv_mont = psi_invs
         self.ntt_psi_host = np.array(psi_rows, dtype=np.uint64)       # [L, N]
         self.ntt_psi_inv_host = np.array(psi_inv_rows, dtype=np.uint64)
+
+        self._shoup_cache: dict = {}
         self.psi_ = u.from_u64(self.ntt_psi_host)
         self.psi_inv_ = u.from_u64(self.ntt_psi_inv_host)
         self.n_inv_ = _tbl(n_inv, (self.L, 1))
@@ -156,11 +158,22 @@ class Ring:
     _NTT_FAST_MIN = 4096
     _LANE = 128
 
+    @staticmethod
+    def _on_tpu() -> bool:
+        import jax
+
+        try:
+            return jax.default_backend() not in ("cpu",)
+        except Exception:
+            return False
+
     def ntt_limbs(self, x: U64, limbs: tuple[int, ...]) -> U64:
         """Forward NTT of x[..., k, :] under modulus ``limbs[k]`` — used when
         the carried limbs are not the prefix 0..L-1 (rescale correction,
         key-switch decomposition).  Inputs may be lazily reduced (< 4q)."""
         if self.n >= self._NTT_FAST_MIN:
+            if self._on_tpu():
+                return self.ntt_roll(x, limbs)
             return self._ntt_fast(x, limbs)
         return self._ntt_simple(x, limbs)
 
@@ -207,6 +220,8 @@ class Ring:
     def intt_limbs(self, x: U64, limbs: tuple[int, ...]) -> U64:
         """Inverse NTT with explicit limb-table indices."""
         if self.n >= self._NTT_FAST_MIN:
+            if self._on_tpu():
+                return self.ntt_roll(x, limbs, inverse=True)
             return self._intt_fast(x, limbs)
         return self._intt_simple(x, limbs)
 
@@ -247,6 +262,25 @@ class Ring:
             h //= 2
         return modred.mred((lo, hi), n_inv, q, qinv)
 
+    def shoup_twiddles(self, inverse: bool) -> tuple[np.ndarray, np.ndarray]:
+        """Plain + Shoup-quotient twiddle tables [L, N] for the Pallas
+        kernels.  Multiplying by the plain twiddle with Shoup's precomputed
+        floor(w*2^64/q) word matches the Montgomery butterfly mod q, and the
+        final exact reduction keeps outputs bit-identical."""
+        if inverse not in self._shoup_cache:
+            mont = self.ntt_psi_inv_host if inverse else self.ntt_psi_host
+            plain = np.empty_like(mont)
+            shoup = np.empty_like(mont)
+            for i, q in enumerate(self.moduli):
+                inv_r = pow(1 << 64, -1, q)
+                row = [int(v) * inv_r % q for v in mont[i]]
+                plain[i] = np.array(row, dtype=np.uint64)
+                shoup[i] = np.array(
+                    [(p << 64) // q for p in row], dtype=np.uint64
+                )
+            self._shoup_cache[inverse] = (plain, shoup)
+        return self._shoup_cache[inverse]
+
     # -- TPU-shaped NTT (transpose-split schedule) -------------------------
 
     def _stage_twiddle(self, limbs, m, t, inverse) -> U64:
@@ -269,6 +303,76 @@ class Ring:
         lo = lo.reshape(*batch, L, rows, cols).swapaxes(-1, -2)
         hi = hi.reshape(*batch, L, rows, cols).swapaxes(-1, -2)
         return lo.reshape(*batch, L, rows * cols), hi.reshape(*batch, L, rows * cols)
+
+    def _roll_twiddles(self, limbs, inverse) -> tuple[U64, U64]:
+        """Full per-stage twiddle planes [L, S, N] (plain + Shoup) for the
+        roll-based schedule, cached host-side."""
+        key = ("roll", limbs, inverse)
+        if key not in self._tw_cache:
+            n = self.n
+            plain, shoup = self.shoup_twiddles(inverse)
+            plain, shoup = plain[np.array(limbs)], shoup[np.array(limbs)]
+            stages = []
+            t = n // 2
+            while t >= 1:
+                stages.append(t)
+                t //= 2
+            if inverse:
+                stages = stages[::-1]
+            fp = np.empty((len(limbs), len(stages), n), dtype=np.uint64)
+            fs = np.empty_like(fp)
+            for si, t in enumerate(stages):
+                m = n // (2 * t)
+                fp[:, si] = np.repeat(plain[:, m : 2 * m], 2 * t, axis=1)
+                fs[:, si] = np.repeat(shoup[:, m : 2 * m], 2 * t, axis=1)
+            self._tw_cache[key] = (u.from_u64(fp), u.from_u64(fs), tuple(stages))
+        return self._tw_cache[key]
+
+    def ntt_roll(self, x: U64, limbs: tuple[int, ...], inverse: bool = False) -> U64:
+        """Roll-based NTT: no reshapes, every stage is a fused full-width
+        elementwise pass plus two jnp.rolls for the partner exchange.  Each
+        element computes its own butterfly output (2x multiplies of the
+        pair-shared form) via Shoup twiddle products; outputs are bit-exact
+        with the reference schedule.  This is the fastest formulation on TPU
+        (reshape/interleave relayouts dominate the other schedules)."""
+        n = self.n
+        q = self._tbl_rows(self.q_, limbs)
+        two_q = self._tbl_rows(self.two_q_, limbs)
+        u0 = self._tbl_rows(self.u0_, limbs)
+        fp, fs, stages = self._roll_twiddles(limbs, inverse)
+
+        lo, hi = x
+        L = lo.shape[-2]
+        pos = jnp.arange(n, dtype=jnp.int32)
+
+        def fold(a, tq):
+            return u.select64(u.lt64(tq, a), u.sub64(a, tq), a)
+
+        xx = (lo, hi)
+        for si, t in enumerate(stages):
+            f = (fp[0][:, si], fp[1][:, si])
+            f_s = (fs[0][:, si], fs[1][:, si])
+            is_u = (pos & (2 * t - 1)) < t
+            roll = lambda a, d: (
+                jnp.roll(a[0], d, axis=-1),
+                jnp.roll(a[1], d, axis=-1),
+            )
+            if not inverse:
+                folded = fold(xx, two_q)
+                mont = modred.mul_shoup(xx, f, f_s, q)
+                out_u = u.add64(folded, roll(mont, -t))
+                out_v = u.sub64(u.add64(roll(folded, t), two_q), mont)
+                xx = u.select64(is_u, out_u, out_v)
+            else:
+                sum_u = fold(u.add64(xx, roll(xx, -t)), two_q)
+                diff = u.sub64(u.add64(roll(xx, t), two_q), xx)
+                xx = u.select64(is_u, sum_u, modred.mul_shoup(diff, f, f_s, q))
+
+        if not inverse:
+            return modred.bred_add(xx, q, u0)
+        ninv = self._tbl_rows(self.n_inv_, limbs)
+        qinv = self._tbl_rows(self.qinv_, limbs)
+        return modred.mred(xx, ninv, q, qinv)
 
     def _ntt_fast(self, x: U64, limbs: tuple[int, ...]) -> U64:
         n, C = self.n, self._LANE
