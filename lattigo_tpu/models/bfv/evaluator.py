@@ -137,17 +137,17 @@ class Evaluator:
             nonblock = [j for j in range(n_q) if not (start <= j < end)]
             parts_lo, parts_hi = [None] * n_q, [None] * n_q
             if nonblock:
-                sel = (xq[0][nonblock, :], xq[1][nonblock, :])
+                sel = (xq[0][..., nonblock, :], xq[1][..., nonblock, :])
                 sel_ntt = rq.ntt_limbs(sel, tuple(nonblock))
                 for k, j in enumerate(nonblock):
-                    parts_lo[j] = sel_ntt[0][k : k + 1]
-                    parts_hi[j] = sel_ntt[1][k : k + 1]
+                    parts_lo[j] = sel_ntt[0][..., k : k + 1, :]
+                    parts_hi[j] = sel_ntt[1][..., k : k + 1, :]
             for j in range(start, end):
-                parts_lo[j] = c2_ntt[0][j : j + 1]
-                parts_hi[j] = c2_ntt[1][j : j + 1]
+                parts_lo[j] = c2_ntt[0][..., j : j + 1, :]
+                parts_hi[j] = c2_ntt[1][..., j : j + 1, :]
             xp_ntt = rqp.ntt_limbs(xp, tuple(range(n_q, n_q + n_p)))
-            planes_lo.append(jnp.concatenate(parts_lo + [xp_ntt[0]], axis=0))
-            planes_hi.append(jnp.concatenate(parts_hi + [xp_ntt[1]], axis=0))
+            planes_lo.append(jnp.concatenate(parts_lo + [xp_ntt[0]], axis=-2))
+            planes_hi.append(jnp.concatenate(parts_hi + [xp_ntt[1]], axis=-2))
         return jnp.stack(planes_lo), jnp.stack(planes_hi)
 
     def _switch_keys_core(self, cx: U64, swk) -> tuple[U64, U64]:

@@ -295,15 +295,18 @@ class Evaluator:
             parts_lo = [None] * (lvl + 1)
             parts_hi = [None] * (lvl + 1)
             if nonblock:
-                sel = (xq[0][nonblock, :], xq[1][nonblock, :])
+                sel = (xq[0][..., nonblock, :], xq[1][..., nonblock, :])
                 sel_ntt = ctx.ring_q.ntt_limbs(sel, tuple(nonblock))
                 for k, j in enumerate(nonblock):
-                    parts_lo[j] = sel_ntt[0][k : k + 1]
-                    parts_hi[j] = sel_ntt[1][k : k + 1]
+                    parts_lo[j] = sel_ntt[0][..., k : k + 1, :]
+                    parts_hi[j] = sel_ntt[1][..., k : k + 1, :]
             for j in range(start, end):
-                parts_lo[j] = c2_ntt[0][j : j + 1]
-                parts_hi[j] = c2_ntt[1][j : j + 1]
-            xq_ntt = (jnp.concatenate(parts_lo), jnp.concatenate(parts_hi))
+                parts_lo[j] = c2_ntt[0][..., j : j + 1, :]
+                parts_hi[j] = c2_ntt[1][..., j : j + 1, :]
+            xq_ntt = (
+                jnp.concatenate(parts_lo, axis=-2),
+                jnp.concatenate(parts_hi, axis=-2),
+            )
             xp_ntt = ctx.ring_p.ntt(xp)
             blocks.append((xq_ntt, xp_ntt))
         return blocks

@@ -595,6 +595,147 @@ class Ring:
         q, _, _, _, qinv = self._qc(a)
         return modred.mred(a, mont, q, qinv)
 
+    # -- remaining coefficient-wise utilities (ring/ring.go:146-801) -------
+
+    def mod_scalar(self, a: U64, m: int) -> U64:
+        """Each coefficient mod an arbitrary 64-bit m (ring/ring.go:146)."""
+        mb = nt.bred_params(m)
+        return modred.bred_add(
+            a, u.const64(m, (1, 1)), u.const64(mb[0], (1, 1))
+        )
+
+    def and_scalar(self, a: U64, m: int) -> U64:
+        return u.and64(a, u.const64(m, (1, 1)))
+
+    def or_scalar(self, a: U64, m: int) -> U64:
+        return u.or64(a, u.const64(m, (1, 1)))
+
+    def xor_scalar(self, a: U64, m: int) -> U64:
+        return u.xor64(a, u.const64(m, (1, 1)))
+
+    def add_scalar(self, a: U64, scalar: int) -> U64:
+        return self.add_scalar_bigint(a, scalar)
+
+    def sub_scalar(self, a: U64, scalar: int) -> U64:
+        return self.sub_scalar_bigint(a, scalar)
+
+    def shift(self, a: U64, n_shift: int) -> U64:
+        """Cyclic left shift of the coefficient slices (ring/ring.go:575)."""
+        return (
+            jnp.roll(a[0], -n_shift, axis=-1),
+            jnp.roll(a[1], -n_shift, axis=-1),
+        )
+
+    def mul_by_pow2(self, a: U64, pow2: int) -> U64:
+        """a * 2^pow2 mod q (ring/ring.go:629)."""
+        return self.mul_scalar(a, 1 << pow2)
+
+    def mult_by_monomial(self, a: U64, degree: int) -> U64:
+        """a(X) * X^degree in the negacyclic ring (ring/ring.go:663-723)."""
+        n = self.n
+        shift = degree % (n << 1)
+        if shift == 0:
+            return a
+        lvl = self.level_of(a)
+        q = self._c(self.q_, lvl)
+        x = a
+        if shift >= n:
+            x = self.neg(x)
+            shift -= n
+        if shift == 0:
+            return x
+        rolled = (
+            jnp.roll(x[0], shift, axis=-1),
+            jnp.roll(x[1], shift, axis=-1),
+        )
+        # wrapped-around coefficients pick up a sign flip
+        idx = np.zeros(n, dtype=bool)
+        idx[:shift] = True
+        neg = u.sub64(q, rolled)
+        neg = u.select64(u.eq64(rolled, u.const64(0)), rolled, neg)
+        return u.select64(jnp.asarray(idx), neg, rolled)
+
+    def mul_by_vector_montgomery(self, a: U64, vector) -> U64:
+        """a .* vector (Montgomery per-slot weights) (ring/ring.go:726)."""
+        vec = u.from_u64(np.asarray(vector, dtype=np.uint64).reshape(1, -1))
+        lvl = self.level_of(a)
+        return modred.mred(
+            a, vec, self._c(self.q_, lvl), self._c(self.qinv_, lvl)
+        )
+
+    def bit_reverse(self, a: U64) -> U64:
+        """Permute coefficients into bit-reversed order (ring/ring.go:749)."""
+        logn = self.log_n
+        idx = np.array(
+            [nt.bit_reverse(j, logn) for j in range(self.n)], dtype=np.int32
+        )
+        return jnp.take(a[0], idx, axis=-1), jnp.take(a[1], idx, axis=-1)
+
+    def rotate(self, a: U64, n_rot: int) -> U64:
+        """Galois rotation in NTT form via psi^2 twisting (ring/ring.go:775);
+        requires bit-reversed-permuted data before the NTT."""
+        lvl = self.level_of(a)
+        rows = np.empty((lvl + 1, self.n), dtype=np.uint64)
+        for i, q in enumerate(self.moduli[: lvl + 1]):
+            psi = nt.inv_mform(self.psi_mont[i], q)
+            root = pow(psi * psi % q, n_rot, q)
+            gal = 1
+            rows[i, 0] = nt.mform(1, q)
+            for j in range(1, self.n):
+                gal = gal * root % q
+                rows[i, j] = nt.mform(gal, q)
+        tw = u.from_u64(rows)
+        return modred.mred(
+            a, tw, self._c(self.q_, lvl), self._c(self.qinv_, lvl)
+        )
+
+    def exp(self, a: U64, e: int) -> U64:
+        """a(X)^e in the ring (NTT pointwise powering; the reference's Exp at
+        ring/ring.go:441 clobbers its own output with a stray InvNTT — this
+        is the corrected semantic)."""
+        x = self.ntt(a)
+        acc = None
+        while e > 0:
+            if e & 1:
+                acc = x if acc is None else self.mul_coeffs(acc, x)
+            x = self.mul_coeffs(x, x)
+            e >>= 1
+        if acc is None:
+            acc = self.set_coeffs_bigint([1] + [0] * (self.n - 1))
+            return acc
+        return self.intt(acc)
+
+    def mul_poly(self, a: U64, b: U64) -> U64:
+        """Full negacyclic polynomial product via NTT (ring/ring.go:358)."""
+        fa = self.ntt(a)
+        fb = self.ntt(b)
+        return self.intt(self.mul_coeffs_montgomery(self.mform(fa), fb))
+
+    def mul_poly_naive(self, a: U64, b: U64) -> U64:
+        """Schoolbook negacyclic convolution, host-side (ring/ring.go:383) —
+        the slow exact reference twin for tests."""
+        n = self.n
+        av = u.to_u64(a)
+        bv = u.to_u64(b)
+        L = av.shape[-2]
+        out = np.zeros((L, n), dtype=np.uint64)
+        for i in range(L):
+            q = self.moduli[i]
+            acc = [0] * n
+            for j in range(n):
+                aj = int(av[i, j])
+                if aj == 0:
+                    continue
+                for k in range(n):
+                    t = aj * int(bv[i, k]) % q
+                    idx = j + k
+                    if idx >= n:
+                        acc[idx - n] = (acc[idx - n] - t) % q
+                    else:
+                        acc[idx] = (acc[idx] + t) % q
+            out[i] = np.array(acc, dtype=np.uint64)
+        return u.from_u64(out)
+
     # -- host <-> device coefficient conversion ----------------------------
 
     def set_coeffs_bigint(self, coeffs: list[int], lvl: int | None = None) -> U64:

@@ -93,6 +93,55 @@ def ckks_ciphertext_from_bytes(data: bytes):
     return Ciphertext(polys, scale, is_ntt)
 
 
+# -- protocol shares (the dbfv/dckks wire protocol) -------------------------
+
+
+def share_to_bytes(share) -> bytes:
+    """Serialize a protocol share: a single poly pair, a stacked
+    [beta, L, N] pair, or a tuple of those (PCKS/Refresh two-part shares).
+    Format: [kind u8] + payload; kind 0 = poly, 1 = stacked, 2 = tuple."""
+    if isinstance(share, tuple) and len(share) == 2 and not hasattr(share[0], "ndim"):
+        # tuple of shares
+        a = share_to_bytes(share[0])
+        b = share_to_bytes(share[1])
+        return bytes([2]) + len(a).to_bytes(4, "big") + a + b
+    lo = np.asarray(share[0])
+    if lo.ndim == 3:  # stacked [beta, L, N]
+        out = bytes([1, lo.shape[0]])
+        for i in range(lo.shape[0]):
+            out += poly_to_bytes((share[0][i], share[1][i]))
+        return out
+    return bytes([0]) + poly_to_bytes(share)
+
+
+def share_from_bytes(data: bytes):
+    kind = data[0]
+    if kind == 0:
+        p, _ = poly_from_bytes(data[1:])
+        return p
+    if kind == 1:
+        import jax.numpy as jnp
+
+        beta = data[1]
+        ptr = 2
+        polys = []
+        for _ in range(beta):
+            p, inc = poly_from_bytes(data[ptr:])
+            polys.append(p)
+            ptr += inc
+        return (
+            jnp.stack([p[0] for p in polys]),
+            jnp.stack([p[1] for p in polys]),
+        )
+    if kind == 2:
+        alen = int.from_bytes(data[1:5], "big")
+        return (
+            share_from_bytes(data[5 : 5 + alen]),
+            share_from_bytes(data[5 + alen :]),
+        )
+    raise ValueError(f"unknown share kind {kind}")
+
+
 # -- keys -------------------------------------------------------------------
 
 
