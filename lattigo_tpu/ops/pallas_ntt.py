@@ -385,6 +385,249 @@ def _tables_bl(ring, limbs: tuple[int, ...], inverse: bool):
     return consts, wp, ws
 
 
+def _passes(n: int, inverse: bool) -> list[list[int]]:
+    """Group butterfly stages into multi-level register passes.
+
+    Forward (strides n/2 .. 1): head stages with stride >= 16 in radix-8
+    groups of three, then the four sub-16 strides (8, 4, 2, 1) as one
+    radix-16 tail pass.  Inverse runs the same groups in reverse order with
+    each group's strides ascending.  Grouping levels in registers divides
+    the per-stage slice/interleave relayout traffic by the group size —
+    the dominant cost of every earlier schedule (see PERF_NOTES.md).
+    """
+    stages = _stages(n)  # n/2 .. 1
+    head = [t for t in stages if t >= 16]
+    tail = [t for t in stages if t < 16]
+    groups = [head[i : i + 3] for i in range(0, len(head), 3)]
+    if tail:
+        groups.append(tail)
+    if inverse:
+        groups = [g[::-1] for g in groups[::-1]]
+    return groups
+
+
+def _kernel_packed(n, inverse, tail_mode, consts_ref, xl, xh, t_ref, ol, oh):
+    q = _scal(consts_ref, 0)
+    two_q = _scal(consts_ref, 1)
+    q3 = (q[0].reshape(1, 1, 1), q[1].reshape(1, 1, 1))
+    two_q3 = (two_q[0].reshape(1, 1, 1), two_q[1].reshape(1, 1, 1))
+
+    lanes = xl.shape[-1]
+    x = (xl[0], xh[0])  # (n, lanes)
+    T = t_ref[0]        # (n//2 or n, 128) packed twiddle columns
+
+    # absolute stage index -> packed column base (stage order is fixed by
+    # direction: forward n/2..1, inverse 1..n/2 — the table builder uses the
+    # same order)
+    stage_order = _stages(n)
+    if inverse:
+        stage_order = stage_order[::-1]
+    col_of = {t: 4 * si for si, t in enumerate(stage_order)}
+
+    def tail_roll(x, group):
+        """Full-width tail: partner fetch by fixed sublane rolls, per-row
+        U/V select; twiddles are full n-row columns at lanes 64+."""
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        for j, t in enumerate(group):
+            c0 = 64 + 4 * j
+            f = (T[:, c0 + 0].reshape(n, 1), T[:, c0 + 1].reshape(n, 1))
+            fs = (T[:, c0 + 2].reshape(n, 1), T[:, c0 + 3].reshape(n, 1))
+            is_u = (row % (2 * t)) < t
+            roll = lambda a, d: (
+                pltpu.roll(a[0], d % n, axis=0),
+                pltpu.roll(a[1], d % n, axis=0),
+            )
+            if not inverse:
+                folded = _fold(x, two_q)
+                mont = modred.mul_shoup(x, f, fs, q)
+                out_u = u.add64(folded, roll(mont, -t))
+                out_v = u.sub64(u.add64(roll(folded, t), two_q), mont)
+            else:
+                out_u = _fold(u.add64(x, roll(x, -t)), two_q)
+                diff = u.sub64(u.add64(roll(x, t), two_q), x)
+                out_v = modred.mul_shoup(diff, f, fs, q)
+            x = u.select64(is_u, out_u, out_v)
+        return x
+
+    for group in _passes(n, inverse):
+        if tail_mode == "roll" and min(group) < 16:
+            x = tail_roll(x, group)
+            continue
+        t_slice = min(group)
+        P = (max(group) * 2) // t_slice
+        M = n // (P * t_slice)
+        x4l = x[0].reshape(M, P, t_slice, lanes)
+        x4h = x[1].reshape(M, P, t_slice, lanes)
+        parts = [(x4l[:, b], x4h[:, b]) for b in range(P)]
+
+        for sigma in group:
+            d = sigma // t_slice  # partner distance in parts
+            c0 = col_of[sigma]
+            # packed radix-2 column for stage sigma, reshaped so that
+            # slice [:, a, r] broadcasts against the (a, r)-th V part
+            shp = (M, P // (2 * d), d, t_slice, 1)
+            TH = T[: n // 2]
+            cw = (TH[:, c0 + 0].reshape(shp), TH[:, c0 + 1].reshape(shp))
+            cs = (TH[:, c0 + 2].reshape(shp), TH[:, c0 + 3].reshape(shp))
+            for a in range(P // (2 * d)):
+                for r in range(d):
+                    iu = 2 * a * d + r
+                    iv = iu + d
+                    uu, vv = parts[iu], parts[iv]
+                    f = (cw[0][:, a, r], cw[1][:, a, r])
+                    fs = (cs[0][:, a, r], cs[1][:, a, r])
+                    if not inverse:
+                        uu = _fold(uu, two_q3)
+                        mv = modred.mul_shoup(vv, f, fs, q3)
+                        parts[iu] = u.add64(uu, mv)
+                        parts[iv] = u.sub64(u.add64(uu, two_q3), mv)
+                    else:
+                        parts[iu] = _fold(u.add64(uu, vv), two_q3)
+                        diff = u.sub64(u.add64(uu, two_q3), vv)
+                        parts[iv] = modred.mul_shoup(diff, f, fs, q3)
+
+        lo = jnp.stack([p[0] for p in parts], axis=1).reshape(n, lanes)
+        hi = jnp.stack([p[1] for p in parts], axis=1).reshape(n, lanes)
+        x = (lo, hi)
+
+    if not inverse:
+        u0 = _scal(consts_ref, 2)
+        r = modred.bred_add(x, q, u0)
+    else:
+        ninv = _scal(consts_ref, 3)
+        ninv_s = _scal(consts_ref, 4)
+        r = modred.cred(modred.mul_shoup(x, ninv, ninv_s, q), q)
+    ol[0] = r[0]
+    oh[0] = r[1]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_packed(n: int, n_limbs: int, n_batches: int, lanes: int, inverse: bool, interpret: bool, tail_mode: str = "gather"):
+    kernel = functools.partial(_kernel_packed, n, inverse, tail_mode)
+    grid = n_limbs * n_batches
+    t_rows = n if tail_mode == "roll" else n // 2
+    limb3 = lambda i: (jax.lax.div(i, n_batches), 0, 0)
+    row3 = lambda i: (i, 0, 0)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 16), limb3, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, lanes), row3, memory_space=vm),
+            pl.BlockSpec((1, n, lanes), row3, memory_space=vm),
+            pl.BlockSpec((1, t_rows, 128), limb3, memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, lanes), row3, memory_space=vm),
+            pl.BlockSpec((1, n, lanes), row3, memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, n, lanes), jnp.uint32),
+            jax.ShapeDtypeStruct((grid, n, lanes), jnp.uint32),
+        ],
+        # transform in place: the coefficient planes are dead after the pass
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _tables_packed(ring, limbs: tuple[int, ...], inverse: bool, tail_mode: str = "gather"):
+    """One (n/2, 128) uint32 table per limb: lane 4*si..4*si+3 hold the
+    stage-si twiddle column (plain lo/hi, Shoup lo/hi) where the column is
+    the stage's twiddles repeated across its butterfly span — the pair-shared
+    V half is always exactly n/2 rows, so every stage shares this shape.
+    With tail_mode="roll" the table has n rows and tail stages additionally
+    store full-width columns (value per coefficient row) at lanes 64+."""
+    n = ring.n
+    idx = np.array(limbs)
+    plain, shoup = ring.shoup_twiddles(inverse)
+    plain, shoup = plain[idx], shoup[idx]
+    L = len(limbs)
+    stages = _stages(n)
+    if inverse:
+        stages = stages[::-1]
+    assert 4 * len(stages) <= 128, "packed table supports log2(n) <= 32"
+
+    t_rows = n if tail_mode == "roll" else n // 2
+    T = np.zeros((L, t_rows, 128), dtype=np.uint32)
+    for si, t in enumerate(stages):
+        m = n // (2 * t)
+        colp = np.repeat(plain[:, m : 2 * m], t, axis=1)  # [L, n/2]
+        cols = np.repeat(shoup[:, m : 2 * m], t, axis=1)
+        T[:, : n // 2, 4 * si + 0] = (colp & 0xFFFFFFFF).astype(np.uint32)
+        T[:, : n // 2, 4 * si + 1] = (colp >> 32).astype(np.uint32)
+        T[:, : n // 2, 4 * si + 2] = (cols & 0xFFFFFFFF).astype(np.uint32)
+        T[:, : n // 2, 4 * si + 3] = (cols >> 32).astype(np.uint32)
+
+    if tail_mode == "roll":
+        tail = [g for g in _passes(n, inverse) if min(g) < 16]
+        for j, t in enumerate(tail[0] if tail else []):
+            m = n // (2 * t)
+            fp = np.repeat(plain[:, m : 2 * m], 2 * t, axis=1)  # [L, n]
+            fs = np.repeat(shoup[:, m : 2 * m], 2 * t, axis=1)
+            T[:, :, 64 + 4 * j + 0] = (fp & 0xFFFFFFFF).astype(np.uint32)
+            T[:, :, 64 + 4 * j + 1] = (fp >> 32).astype(np.uint32)
+            T[:, :, 64 + 4 * j + 2] = (fs & 0xFFFFFFFF).astype(np.uint32)
+            T[:, :, 64 + 4 * j + 3] = (fs >> 32).astype(np.uint32)
+
+    consts = np.zeros((L, 1, 16), dtype=np.uint32)
+    for k, l in enumerate(limbs):
+        q = ring.moduli[l]
+        ninv_mont = int(
+            u.to_u64((ring.n_inv_[0][l : l + 1, 0], ring.n_inv_[1][l : l + 1, 0]))[0]
+        )
+        ninv = ninv_mont * pow(1 << 64, -1, q) % q
+        vals = [q, 2 * q, ring.bred[l][0], ninv, (ninv << 64) // q]
+        for j, v in enumerate(vals):
+            consts[k, 0, 2 * j] = v & 0xFFFFFFFF
+            consts[k, 0, 2 * j + 1] = (v >> 32) & 0xFFFFFFFF
+    return consts, T
+
+
+def ntt_pallas_packed(
+    ring,
+    x: U64,
+    limbs: tuple[int, ...],
+    inverse: bool = False,
+    interpret: bool = False,
+    lanes: int = _LANES,
+    tail_mode: str = "gather",
+) -> U64:
+    """Packed-twiddle multi-radix transform: batch on lanes, one Pallas
+    program per (limb, lane-group); all stage twiddles ride one natural
+    (n/2, 128) VMEM block per limb."""
+    lo, hi = x
+    batch = lo.shape[:-2]
+    L = lo.shape[-2]
+    n = ring.n
+    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    pad = (-B) % lanes
+    nb = (B + pad) // lanes
+
+    consts, T = _tables_packed(ring, tuple(limbs), inverse, tail_mode)
+    call = _build_call_packed(n, L, nb, lanes, inverse, interpret, tail_mode)
+
+    def to_lanes(a):
+        a = a.reshape(B, L, n)
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad, L, n), dtype=a.dtype)], axis=0)
+        a = a.transpose(1, 0, 2).reshape(L, nb, lanes, n)
+        return a.swapaxes(-1, -2).reshape(L * nb, n, lanes)
+
+    def from_lanes(a):
+        a = a.reshape(L, nb, n, lanes).swapaxes(-1, -2)
+        a = a.reshape(L, nb * lanes, n)[:, :B].transpose(1, 0, 2)
+        return a.reshape(*batch, L, n)
+
+    ol, oh = call(consts, to_lanes(lo), to_lanes(hi), T)
+    return from_lanes(ol), from_lanes(oh)
+
+
 def ntt_pallas_batched(ring, x: U64, limbs: tuple[int, ...], inverse: bool = False, interpret: bool = False) -> U64:
     """Batch-on-lanes transform: requires total batch divisible by 64 (the
     wrapper pads otherwise).  x: [..., L, N]."""
