@@ -49,15 +49,25 @@ def main():
     assert (ref == got).all(), "fast NTT mismatch vs reference schedule"
     print("bit-exactness cross-check passed", file=sys.stderr)
 
-    # steady-state timing
-    iters = 30
+    # steady-state timing: chain the transform inside one jit so a single
+    # device dispatch measures pure device throughput (each python-level
+    # call through the remote-TPU tunnel otherwise adds ~ms of latency)
+    chain = 50
+
+    @jax.jit
+    def ntt_chain(z):
+        return jax.lax.fori_loop(0, chain, lambda _, a: ring.ntt(a), z)
+
+    z = ntt_chain(X)
+    jax.block_until_ready(z)
+
+    calls = 6
     t0 = time.time()
-    z = X
-    for _ in range(iters):
-        z = ntt(z)
+    for _ in range(calls):
+        z = ntt_chain(z)
     jax.block_until_ready(z)
     dt = time.time() - t0
-    n_ntts = B * len(moduli) * iters
+    n_ntts = B * len(moduli) * chain * calls
     rate = n_ntts / dt
     print(f"{n_ntts} NTTs in {dt:.3f}s", file=sys.stderr)
 

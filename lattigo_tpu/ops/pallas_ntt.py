@@ -628,6 +628,212 @@ def ntt_pallas_packed(
     return from_lanes(ol), from_lanes(oh)
 
 
+def _kernel_pass(n, inverse, group, tail_roll_pass, first, final, consts_ref, xl, xh, t_ref, ol, oh):
+    """One butterfly pass (a group of stages) as its own kernel.
+
+    Splitting passes into separate pallas_calls keeps each Mosaic module
+    small (compile time grows superlinearly with the unrolled op count of
+    the monolithic 13-stage kernel) at the cost of one HBM round trip of
+    the coefficient planes per pass — ~8MB/pass at N=8192×64 lanes, well
+    under the measured per-NTT budget at batch ≥64.
+    """
+    q = _scal(consts_ref, 0)
+    two_q = _scal(consts_ref, 1)
+    q3 = (q[0].reshape(1, 1, 1), q[1].reshape(1, 1, 1))
+    two_q3 = (two_q[0].reshape(1, 1, 1), two_q[1].reshape(1, 1, 1))
+
+    lanes = xl.shape[-1]
+    x = (xl[0], xh[0])  # (n, lanes)
+    T = t_ref[0]
+
+    if inverse and first:
+        # callers may hand in lazily reduced values (< 4q); the inverse
+        # butterfly's U path needs < 2q operands (two folds: 4q -> 2q)
+        x = _fold(_fold(x, two_q), two_q)
+
+    if tail_roll_pass:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        for j, t in enumerate(group):
+            c0 = 4 * j
+            f = (T[:, c0 + 0].reshape(n, 1), T[:, c0 + 1].reshape(n, 1))
+            fs = (T[:, c0 + 2].reshape(n, 1), T[:, c0 + 3].reshape(n, 1))
+            is_u = (row % (2 * t)) < t
+            roll = lambda a, d: (
+                pltpu.roll(a[0], d % n, axis=0),
+                pltpu.roll(a[1], d % n, axis=0),
+            )
+            if not inverse:
+                folded = _fold(x, two_q)
+                mont = modred.mul_shoup(x, f, fs, q)
+                out_u = u.add64(folded, roll(mont, -t))
+                out_v = u.sub64(u.add64(roll(folded, t), two_q), mont)
+            else:
+                out_u = _fold(u.add64(x, roll(x, -t)), two_q)
+                diff = u.sub64(u.add64(roll(x, t), two_q), x)
+                out_v = modred.mul_shoup(diff, f, fs, q)
+            x = u.select64(is_u, out_u, out_v)
+    else:
+        t_slice = min(group)
+        P = (max(group) * 2) // t_slice
+        M = n // (P * t_slice)
+        x4l = x[0].reshape(M, P, t_slice, lanes)
+        x4h = x[1].reshape(M, P, t_slice, lanes)
+        parts = [(x4l[:, b], x4h[:, b]) for b in range(P)]
+
+        for j, sigma in enumerate(group):
+            d = sigma // t_slice
+            c0 = 4 * j
+            # stage column as (M, n_pairs_in_M, t_slice): row block for the
+            # (a, r)-th V part starts at pair index (2*a*d + r) ... the V
+            # half column layout repeats each twiddle t_slice times already
+            TH = T[: n // 2]
+            npair = P // 2
+            cw = (
+                TH[:, c0 + 0].reshape(M, npair, t_slice, 1),
+                TH[:, c0 + 1].reshape(M, npair, t_slice, 1),
+            )
+            cs = (
+                TH[:, c0 + 2].reshape(M, npair, t_slice, 1),
+                TH[:, c0 + 3].reshape(M, npair, t_slice, 1),
+            )
+            for a in range(P // (2 * d)):
+                for r in range(d):
+                    iu = 2 * a * d + r
+                    iv = iu + d
+                    pair = a * d + r  # index among the n/2 V rows
+                    uu, vv = parts[iu], parts[iv]
+                    f = (cw[0][:, pair], cw[1][:, pair])
+                    fs = (cs[0][:, pair], cs[1][:, pair])
+                    if not inverse:
+                        uu = _fold(uu, two_q3)
+                        mv = modred.mul_shoup(vv, f, fs, q3)
+                        parts[iu] = u.add64(uu, mv)
+                        parts[iv] = u.sub64(u.add64(uu, two_q3), mv)
+                    else:
+                        parts[iu] = _fold(u.add64(uu, vv), two_q3)
+                        diff = u.sub64(u.add64(uu, two_q3), vv)
+                        parts[iv] = modred.mul_shoup(diff, f, fs, q3)
+
+        lo = jnp.stack([p[0] for p in parts], axis=1).reshape(n, lanes)
+        hi = jnp.stack([p[1] for p in parts], axis=1).reshape(n, lanes)
+        x = (lo, hi)
+
+    if final:
+        if not inverse:
+            u0 = _scal(consts_ref, 2)
+            x = modred.bred_add(x, q, u0)
+        else:
+            ninv = _scal(consts_ref, 3)
+            ninv_s = _scal(consts_ref, 4)
+            x = modred.cred(modred.mul_shoup(x, ninv, ninv_s, q), q)
+    ol[0] = x[0]
+    oh[0] = x[1]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_pass(n, n_limbs, n_batches, lanes, inverse, group, tail_roll_pass, first, final, interpret):
+    kernel = functools.partial(_kernel_pass, n, inverse, group, tail_roll_pass, first, final)
+    grid = n_limbs * n_batches
+    t_rows = n if tail_roll_pass else n // 2
+    limb3 = lambda i: (jax.lax.div(i, n_batches), 0, 0)
+    row3 = lambda i: (i, 0, 0)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 16), limb3, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, lanes), row3, memory_space=vm),
+            pl.BlockSpec((1, n, lanes), row3, memory_space=vm),
+            pl.BlockSpec((1, t_rows, 128), limb3, memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, lanes), row3, memory_space=vm),
+            pl.BlockSpec((1, n, lanes), row3, memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, n, lanes), jnp.uint32),
+            jax.ShapeDtypeStruct((grid, n, lanes), jnp.uint32),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _tables_pass(ring, limbs: tuple[int, ...], inverse: bool, group: tuple[int, ...], tail_roll_pass: bool):
+    """Per-pass twiddle table: columns 4j..4j+3 hold stage group[j]'s
+    (plain lo/hi, Shoup lo/hi) V-half column (n/2 rows), or the full-width
+    n-row column for a roll-tail pass."""
+    n = ring.n
+    idx = np.array(limbs)
+    plain, shoup = ring.shoup_twiddles(inverse)
+    plain, shoup = plain[idx], shoup[idx]
+    L = len(limbs)
+    t_rows = n if tail_roll_pass else n // 2
+    T = np.zeros((L, t_rows, 128), dtype=np.uint32)
+    for j, t in enumerate(group):
+        m = n // (2 * t)
+        rep = 2 * t if tail_roll_pass else t
+        colp = np.repeat(plain[:, m : 2 * m], rep, axis=1)
+        cols = np.repeat(shoup[:, m : 2 * m], rep, axis=1)
+        T[:, : colp.shape[1], 4 * j + 0] = (colp & 0xFFFFFFFF).astype(np.uint32)
+        T[:, : colp.shape[1], 4 * j + 1] = (colp >> 32).astype(np.uint32)
+        T[:, : colp.shape[1], 4 * j + 2] = (cols & 0xFFFFFFFF).astype(np.uint32)
+        T[:, : colp.shape[1], 4 * j + 3] = (cols >> 32).astype(np.uint32)
+    return T
+
+
+def ntt_pallas_passes(
+    ring,
+    x: U64,
+    limbs: tuple[int, ...],
+    inverse: bool = False,
+    interpret: bool = False,
+    lanes: int = _LANES,
+) -> U64:
+    """Pass-split packed transform: one pallas_call per multi-stage pass
+    (radix-8 head groups, fixed-shift roll tail).  Same math as
+    ntt_pallas_packed; trades one HBM round trip per pass for per-kernel
+    Mosaic modules small enough to compile."""
+    lo, hi = x
+    batch = lo.shape[:-2]
+    L = lo.shape[-2]
+    n = ring.n
+    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    pad = (-B) % lanes
+    nb = (B + pad) // lanes
+
+    consts, _ = _tables_packed(ring, tuple(limbs), inverse, "gather")
+    groups = _passes(n, inverse)
+
+    def to_lanes(a):
+        a = a.reshape(B, L, n)
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad, L, n), dtype=a.dtype)], axis=0)
+        a = a.transpose(1, 0, 2).reshape(L, nb, lanes, n)
+        return a.swapaxes(-1, -2).reshape(L * nb, n, lanes)
+
+    def from_lanes(a):
+        a = a.reshape(L, nb, n, lanes).swapaxes(-1, -2)
+        a = a.reshape(L, nb * lanes, n)[:, :B].transpose(1, 0, 2)
+        return a.reshape(*batch, L, n)
+
+    cl, ch = to_lanes(lo), to_lanes(hi)
+    for gi, group in enumerate(groups):
+        tail = min(group) < 16
+        final = gi == len(groups) - 1
+        T = _tables_pass(ring, tuple(limbs), inverse, tuple(group), tail)
+        call = _build_call_pass(
+            n, L, nb, lanes, inverse, tuple(group), tail, gi == 0, final, interpret
+        )
+        cl, ch = call(consts, cl, ch, T)
+    return from_lanes(cl), from_lanes(ch)
+
+
 def ntt_pallas_batched(ring, x: U64, limbs: tuple[int, ...], inverse: bool = False, interpret: bool = False) -> U64:
     """Batch-on-lanes transform: requires total batch divisible by 64 (the
     wrapper pads otherwise).  x: [..., L, N]."""

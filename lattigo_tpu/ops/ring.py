@@ -173,9 +173,21 @@ class Ring:
         key-switch decomposition).  Inputs may be lazily reduced (< 4q)."""
         if self.n >= self._NTT_FAST_MIN:
             if self._on_tpu():
+                if self._batch_of(x) >= 64:
+                    from lattigo_tpu.ops import pallas_ntt
+
+                    return pallas_ntt.ntt_pallas_passes(self, x, limbs, lanes=128)
                 return self.ntt_roll(x, limbs)
             return self._ntt_fast(x, limbs)
         return self._ntt_simple(x, limbs)
+
+    @staticmethod
+    def _batch_of(x: U64) -> int:
+        batch = x[0].shape[:-2]
+        out = 1
+        for b in batch:
+            out *= int(b)
+        return out
 
     def _ntt_simple(self, x: U64, limbs: tuple[int, ...]) -> U64:
         n = self.n
@@ -221,6 +233,12 @@ class Ring:
         """Inverse NTT with explicit limb-table indices."""
         if self.n >= self._NTT_FAST_MIN:
             if self._on_tpu():
+                if self._batch_of(x) >= 64:
+                    from lattigo_tpu.ops import pallas_ntt
+
+                    return pallas_ntt.ntt_pallas_passes(
+                        self, x, limbs, inverse=True, lanes=128
+                    )
                 return self.ntt_roll(x, limbs, inverse=True)
             return self._intt_fast(x, limbs)
         return self._intt_simple(x, limbs)
