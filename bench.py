@@ -29,7 +29,7 @@ def main():
     moduli = [576460752303439873, 576460752303702017]  # golden-vector 60-bit pair
     ring = Ring(n, moduli)
 
-    B = 128  # batch of polynomials; NTTs per call = B * len(moduli)
+    B = 1024  # batch of polynomials; NTTs per call = B * len(moduli)
     rng = np.random.default_rng(0)
     x = rng.integers(0, moduli[0], size=(B, len(moduli), n), dtype=np.uint64)
     x %= np.array(moduli, dtype=np.uint64)[None, :, None]
@@ -51,25 +51,32 @@ def main():
 
     # steady-state timing: chain the transform inside one jit so a single
     # device dispatch measures pure device throughput (each python-level
-    # call through the remote-TPU tunnel otherwise adds ~ms of latency)
+    # call through the remote-TPU tunnel otherwise adds ~ms of latency).
+    # A scalar digest is fetched to host each call — the transfer cannot
+    # complete before every chained transform has executed, so the timing
+    # cannot be inflated by an unreliable async block_until_ready.
     chain = 50
 
     @jax.jit
     def ntt_chain(z):
-        return jax.lax.fori_loop(0, chain, lambda _, a: ring.ntt(a), z)
+        import jax.numpy as jnp
 
-    z = ntt_chain(X)
-    jax.block_until_ready(z)
+        out = jax.lax.fori_loop(0, chain, lambda _, a: ring.ntt(a), z)
+        digest = jnp.sum(out[0], dtype=jnp.uint32) ^ jnp.sum(out[1], dtype=jnp.uint32)
+        return out, digest
+
+    z, d = ntt_chain(X)
+    _ = int(d)
 
     calls = 6
     t0 = time.time()
     for _ in range(calls):
-        z = ntt_chain(z)
-    jax.block_until_ready(z)
+        z, d = ntt_chain(z)
+        _ = int(d)
     dt = time.time() - t0
     n_ntts = B * len(moduli) * chain * calls
     rate = n_ntts / dt
-    print(f"{n_ntts} NTTs in {dt:.3f}s", file=sys.stderr)
+    print(f"{n_ntts} NTTs in {dt:.3f}s (digest {int(d)})", file=sys.stderr)
 
     print(
         json.dumps(

@@ -385,20 +385,20 @@ def _tables_bl(ring, limbs: tuple[int, ...], inverse: bool):
     return consts, wp, ws
 
 
-def _passes(n: int, inverse: bool) -> list[list[int]]:
+def _passes(n: int, inverse: bool, head_size: int = 3, tail_max: int = 16) -> list[list[int]]:
     """Group butterfly stages into multi-level register passes.
 
-    Forward (strides n/2 .. 1): head stages with stride >= 16 in radix-8
-    groups of three, then the four sub-16 strides (8, 4, 2, 1) as one
-    radix-16 tail pass.  Inverse runs the same groups in reverse order with
-    each group's strides ascending.  Grouping levels in registers divides
-    the per-stage slice/interleave relayout traffic by the group size —
-    the dominant cost of every earlier schedule (see PERF_NOTES.md).
+    Forward (strides n/2 .. 1): head stages with stride >= tail_max in
+    register groups of ``head_size``, then the sub-tail_max strides as one
+    full-width roll pass.  Inverse runs the same groups in reverse order
+    with each group's strides ascending.  Grouping levels in registers
+    divides the per-stage slice/interleave relayout traffic by the group
+    size — the dominant cost of every earlier schedule (see PERF_NOTES.md).
     """
     stages = _stages(n)  # n/2 .. 1
-    head = [t for t in stages if t >= 16]
-    tail = [t for t in stages if t < 16]
-    groups = [head[i : i + 3] for i in range(0, len(head), 3)]
+    head = [t for t in stages if t >= tail_max]
+    tail = [t for t in stages if t < tail_max]
+    groups = [head[i : i + head_size] for i in range(0, len(head), head_size)]
     if tail:
         groups.append(tail)
     if inverse:
@@ -731,29 +731,32 @@ def _kernel_pass(n, inverse, group, tail_roll_pass, first, final, consts_ref, xl
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call_pass(n, n_limbs, n_batches, lanes, inverse, group, tail_roll_pass, first, final, interpret):
-    kernel = functools.partial(_kernel_pass, n, inverse, group, tail_roll_pass, first, final)
-    grid = n_limbs * n_batches
-    t_rows = n if tail_roll_pass else n // 2
-    limb3 = lambda i: (jax.lax.div(i, n_batches), 0, 0)
-    row3 = lambda i: (i, 0, 0)
+def _build_call_pass(n, n_limbs, n_batches, lanes, inverse, group, tail_roll_pass, first, final, interpret, rows):
+    """rows = row-block height: passes whose butterflies couple only rows
+    within an aligned ``rows`` window tile the coefficient axis, shrinking
+    VMEM residency and multiplying grid steps for DMA/compute overlap."""
+    kernel = functools.partial(_kernel_pass, rows, inverse, group, tail_roll_pass, first, final)
+    grid = (n_limbs * n_batches, n // rows)
+    t_rows = rows if tail_roll_pass else rows // 2
+    limb3 = lambda i, j: (jax.lax.div(i, n_batches), j, 0)
+    row3 = lambda i, j: (i, j, 0)
     vm = pltpu.VMEM
     return pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 16), limb3, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n, lanes), row3, memory_space=vm),
-            pl.BlockSpec((1, n, lanes), row3, memory_space=vm),
+            pl.BlockSpec((1, 1, 16), lambda i, j: (jax.lax.div(i, n_batches), 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rows, lanes), row3, memory_space=vm),
+            pl.BlockSpec((1, rows, lanes), row3, memory_space=vm),
             pl.BlockSpec((1, t_rows, 128), limb3, memory_space=vm),
         ],
         out_specs=[
-            pl.BlockSpec((1, n, lanes), row3, memory_space=vm),
-            pl.BlockSpec((1, n, lanes), row3, memory_space=vm),
+            pl.BlockSpec((1, rows, lanes), row3, memory_space=vm),
+            pl.BlockSpec((1, rows, lanes), row3, memory_space=vm),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid, n, lanes), jnp.uint32),
-            jax.ShapeDtypeStruct((grid, n, lanes), jnp.uint32),
+            jax.ShapeDtypeStruct((n_limbs * n_batches, n, lanes), jnp.uint32),
+            jax.ShapeDtypeStruct((n_limbs * n_batches, n, lanes), jnp.uint32),
         ],
         input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(
@@ -794,11 +797,15 @@ def ntt_pallas_passes(
     inverse: bool = False,
     interpret: bool = False,
     lanes: int = _LANES,
+    head_size: int = 4,
+    tail_max: int = 32,
+    min_rows: int = 1024,
 ) -> U64:
     """Pass-split packed transform: one pallas_call per multi-stage pass
-    (radix-8 head groups, fixed-shift roll tail).  Same math as
-    ntt_pallas_packed; trades one HBM round trip per pass for per-kernel
-    Mosaic modules small enough to compile."""
+    (register head groups, fixed-shift roll tail), row-blocked where the
+    pass's butterfly span allows.  Same math as ntt_pallas_packed; trades
+    one HBM round trip per pass for per-kernel Mosaic modules small enough
+    to compile."""
     lo, hi = x
     batch = lo.shape[:-2]
     L = lo.shape[-2]
@@ -808,7 +815,7 @@ def ntt_pallas_passes(
     nb = (B + pad) // lanes
 
     consts, _ = _tables_packed(ring, tuple(limbs), inverse, "gather")
-    groups = _passes(n, inverse)
+    groups = _passes(n, inverse, head_size, tail_max)
 
     def to_lanes(a):
         a = a.reshape(B, L, n)
@@ -824,11 +831,15 @@ def ntt_pallas_passes(
 
     cl, ch = to_lanes(lo), to_lanes(hi)
     for gi, group in enumerate(groups):
-        tail = min(group) < 16
+        tail = min(group) < tail_max
         final = gi == len(groups) - 1
+        # butterfly span: rows coupled by this pass (aligned window)
+        span = 2 * max(group)
+        rows = min(n, max(span, min_rows))
         T = _tables_pass(ring, tuple(limbs), inverse, tuple(group), tail)
         call = _build_call_pass(
-            n, L, nb, lanes, inverse, tuple(group), tail, gi == 0, final, interpret
+            n, L, nb, lanes, inverse, tuple(group), tail, gi == 0, final,
+            interpret, rows,
         )
         cl, ch = call(consts, cl, ch, T)
     return from_lanes(cl), from_lanes(ch)

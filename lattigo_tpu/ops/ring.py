@@ -176,7 +176,9 @@ class Ring:
                 if self._batch_of(x) >= 64:
                     from lattigo_tpu.ops import pallas_ntt
 
-                    return pallas_ntt.ntt_pallas_passes(self, x, limbs, lanes=128)
+                    return pallas_ntt.ntt_pallas_passes(
+                        self, x, limbs, lanes=128, min_rows=1024
+                    )
                 return self.ntt_roll(x, limbs)
             return self._ntt_fast(x, limbs)
         return self._ntt_simple(x, limbs)
@@ -237,7 +239,7 @@ class Ring:
                     from lattigo_tpu.ops import pallas_ntt
 
                     return pallas_ntt.ntt_pallas_passes(
-                        self, x, limbs, inverse=True, lanes=128
+                        self, x, limbs, inverse=True, lanes=128, min_rows=1024
                     )
                 return self.ntt_roll(x, limbs, inverse=True)
             return self._intt_fast(x, limbs)
