@@ -251,3 +251,61 @@ def rotation_keys_from_bytes(data: bytes, rk_cls, swk_cls):
         else:
             rk.conjugate = swk
     return rk
+
+
+# -- Parameters ---------------------------------------------------------------
+
+
+def bfv_parameters_to_bytes(p) -> bytes:
+    """bfv/params.go:263-285: [logN u8][#Qi u8][#Pi u8][#QiMul u8]
+    [T u64][sigma*2^32 u64][Qi...][Pi...][QiMul...], big-endian."""
+    out = bytes([p.log_n, len(p.qi), len(p.pi), len(p.qi_mul)])
+    out += struct.pack(">QQ", p.t, int(p.sigma * (1 << 32)))
+    for v in (*p.qi, *p.pi, *p.qi_mul):
+        out += struct.pack(">Q", v)
+    return out
+
+
+def bfv_parameters_from_bytes(data: bytes):
+    from lattigo_tpu.models.bfv.params import Parameters
+
+    log_n, n_qi, n_pi, n_mul = data[0], data[1], data[2], data[3]
+    t, sig = struct.unpack(">QQ", data[4:20])
+    vals = struct.unpack(f">{n_qi + n_pi + n_mul}Q", data[20 : 20 + 8 * (n_qi + n_pi + n_mul)])
+    sigma = round((sig / (1 << 32)) * 100) / 100
+    return Parameters(
+        log_n=log_n,
+        t=t,
+        sigma=sigma,
+        qi=tuple(vals[:n_qi]),
+        pi=tuple(vals[n_qi : n_qi + n_pi]),
+        qi_mul=tuple(vals[n_qi + n_pi :]),
+    )
+
+
+def ckks_parameters_to_bytes(p) -> bytes:
+    """ckks/params.go:269-291: [logN u8][logSlots u8][scale f64][sigma f64]
+    [#Qi u8][#Pi u8][Qi...][Pi...], big-endian."""
+    out = bytes([p.log_n, p.log_slots])
+    out += struct.pack(">dd", p.scale, p.sigma)
+    out += bytes([len(p.qi), len(p.pi)])
+    for v in (*p.qi, *p.pi):
+        out += struct.pack(">Q", v)
+    return out
+
+
+def ckks_parameters_from_bytes(data: bytes):
+    from lattigo_tpu.models.ckks.params import Parameters
+
+    log_n, log_slots = data[0], data[1]
+    scale, sigma = struct.unpack(">dd", data[2:18])
+    n_qi, n_pi = data[18], data[19]
+    vals = struct.unpack(f">{n_qi + n_pi}Q", data[20 : 20 + 8 * (n_qi + n_pi)])
+    return Parameters(
+        log_n=log_n,
+        log_slots=log_slots,
+        scale=scale,
+        sigma=sigma,
+        qi=tuple(vals[:n_qi]),
+        pi=tuple(vals[n_qi:]),
+    )

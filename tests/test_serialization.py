@@ -80,3 +80,29 @@ def test_key_roundtrips():
     np.testing.assert_array_equal(
         u.to_u64(back.left[3].key1), u.to_u64(rk.left[3].key1)
     )
+
+
+def test_parameters_roundtrip():
+    """bfv/params.go:263-321 + ckks/params.go:269-311 byte formats."""
+    from lattigo_tpu.models import bfv, ckks
+    from lattigo_tpu.utils import serialization as ser
+
+    p = bfv.Parameters(
+        log_n=8, t=65537, log_qi=(46, 46), log_pi=(47,), log_qi_mul=(60, 60)
+    ).gen_from_log_moduli()
+    blob = ser.bfv_parameters_to_bytes(p)
+    q = ser.bfv_parameters_from_bytes(blob)
+    assert (q.log_n, q.t, q.qi, q.pi, q.qi_mul) == (p.log_n, p.t, p.qi, p.pi, p.qi_mul)
+    assert q.sigma == p.sigma
+    # header layout: logN, #Qi, #Pi, #QiMul then T u64 (big-endian)
+    assert blob[0] == 8 and blob[1] == 2 and blob[2] == 1 and blob[3] == 2
+    assert int.from_bytes(blob[4:12], "big") == 65537
+
+    cp = ckks.Parameters(
+        log_n=8, log_slots=7, scale=2.0**30, log_qi=(40, 30, 30), log_pi=(41,)
+    ).gen_from_log_moduli()
+    blob = ser.ckks_parameters_to_bytes(cp)
+    cq = ser.ckks_parameters_from_bytes(blob)
+    assert (cq.log_n, cq.log_slots, cq.scale, cq.qi, cq.pi) == (
+        cp.log_n, cp.log_slots, cp.scale, cp.qi, cp.pi,
+    )
