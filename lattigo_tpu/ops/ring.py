@@ -33,6 +33,10 @@ from lattigo_tpu.ops import u64 as u
 
 U64 = u.U64
 
+# Test hook: route the TPU Pallas schedule through the dispatcher on any
+# backend (interpret mode off-TPU) so CI exercises the production path.
+FORCE_PALLAS = False
+
 
 def _tbl(vals, shape=None) -> U64:
     """Host ints -> device U64 constant pair."""
@@ -172,13 +176,15 @@ class Ring:
         the carried limbs are not the prefix 0..L-1 (rescale correction,
         key-switch decomposition).  Inputs may be lazily reduced (< 4q)."""
         if self.n >= self._NTT_FAST_MIN:
-            if self._on_tpu():
-                if self._batch_of(x) >= 64:
-                    from lattigo_tpu.ops import pallas_ntt
+            on_tpu = self._on_tpu()
+            if (on_tpu and self._batch_of(x) >= 64) or FORCE_PALLAS:
+                from lattigo_tpu.ops import pallas_ntt
 
-                    return pallas_ntt.ntt_pallas_passes(
-                        self, x, limbs, lanes=128, min_rows=1024
-                    )
+                return pallas_ntt.ntt_pallas_passes(
+                    self, x, limbs, lanes=128, min_rows=1024,
+                    interpret=not on_tpu,
+                )
+            if on_tpu:
                 return self.ntt_roll(x, limbs)
             return self._ntt_fast(x, limbs)
         return self._ntt_simple(x, limbs)
@@ -234,13 +240,15 @@ class Ring:
     def intt_limbs(self, x: U64, limbs: tuple[int, ...]) -> U64:
         """Inverse NTT with explicit limb-table indices."""
         if self.n >= self._NTT_FAST_MIN:
-            if self._on_tpu():
-                if self._batch_of(x) >= 64:
-                    from lattigo_tpu.ops import pallas_ntt
+            on_tpu = self._on_tpu()
+            if (on_tpu and self._batch_of(x) >= 64) or FORCE_PALLAS:
+                from lattigo_tpu.ops import pallas_ntt
 
-                    return pallas_ntt.ntt_pallas_passes(
-                        self, x, limbs, inverse=True, lanes=128, min_rows=1024
-                    )
+                return pallas_ntt.ntt_pallas_passes(
+                    self, x, limbs, inverse=True, lanes=128, min_rows=1024,
+                    interpret=not on_tpu,
+                )
+            if on_tpu:
                 return self.ntt_roll(x, limbs, inverse=True)
             return self._intt_fast(x, limbs)
         return self._intt_simple(x, limbs)
@@ -691,20 +699,34 @@ class Ring:
         )
         return jnp.take(a[0], idx, axis=-1), jnp.take(a[1], idx, axis=-1)
 
+    def _rotate_rows(self, lvl: int, n_rot: int) -> np.ndarray:
+        """Cached psi^(2*n_rot) power table for Galois rotation, built once
+        per (level, rotation) with vectorized square-and-multiply."""
+        key = ("rot", lvl, n_rot)
+        if key not in self._tw_cache:
+            rows = np.empty((lvl + 1, self.n), dtype=np.uint64)
+            exps = np.arange(self.n, dtype=np.uint64)
+            for i, q in enumerate(self.moduli[: lvl + 1]):
+                psi = nt.inv_mform(self.psi_mont[i], q)
+                root = pow(psi * psi % q, n_rot, q)
+                # gal[j] = root^j * 2^64 mod q via per-bit masked products
+                # (object dtype: 60-bit modular products overflow uint64)
+                acc = np.full(self.n, nt.mform(1, q), dtype=object)
+                rb = root
+                for b in range(self.log_n):
+                    sel = (exps >> np.uint64(b)) & np.uint64(1) == 1
+                    if sel.any():
+                        acc[sel] = acc[sel] * rb % q
+                    rb = rb * rb % q
+                rows[i] = acc.astype(np.uint64)
+            self._tw_cache[key] = rows
+        return self._tw_cache[key]
+
     def rotate(self, a: U64, n_rot: int) -> U64:
         """Galois rotation in NTT form via psi^2 twisting (ring/ring.go:775);
         requires bit-reversed-permuted data before the NTT."""
         lvl = self.level_of(a)
-        rows = np.empty((lvl + 1, self.n), dtype=np.uint64)
-        for i, q in enumerate(self.moduli[: lvl + 1]):
-            psi = nt.inv_mform(self.psi_mont[i], q)
-            root = pow(psi * psi % q, n_rot, q)
-            gal = 1
-            rows[i, 0] = nt.mform(1, q)
-            for j in range(1, self.n):
-                gal = gal * root % q
-                rows[i, j] = nt.mform(gal, q)
-        tw = u.from_u64(rows)
+        tw = u.from_u64(self._rotate_rows(lvl, n_rot))
         return modred.mred(
             a, tw, self._c(self.q_, lvl), self._c(self.qinv_, lvl)
         )

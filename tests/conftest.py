@@ -14,3 +14,22 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight tests (reference-default parameter sets, large-N "
+        "interpret-mode Pallas); run with RUN_SLOW=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    if os.environ.get("RUN_SLOW"):
+        return
+    skip = _pytest.mark.skip(reason="slow test: set RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
