@@ -1,93 +1,354 @@
-"""Headline benchmark: forward NTTs/sec, N=2^13, 60-bit moduli, one chip.
+"""BASELINE benchmark suite (driver entry point).
 
-Matches BASELINE.json config #1 (bit-exact vs ring/ntt_test.go semantics —
-the same transform validated against ring/test_data golden vectors in
-tests/test_ntt_golden.py).  Prints exactly one JSON line on stdout; extra
-diagnostics go to stderr.
+Config #1 (headline, the only bare-JSON line on stdout): forward NTT
+throughput, N=2^13, 60-bit moduli, one chip — BASELINE.json's north-star
+metric, bit-exact against the reference schedule on hardware in BOTH
+directions (the same transform the golden vectors check in
+tests/test_ntt_golden.py; harness anchor ring/ring_benchmark_test.go:162).
 
-Baseline target: 1e6 NTTs/sec per chip (BASELINE.md); vs_baseline is
-value / 1e6.
+Configs #2-#5 (stderr lines prefixed ``CONFIG``, also written to
+BENCH_SCHEMES.json): the reference's scheme-level benchmark families on
+their default parameter sets —
+  #2 BFV mult+relin, PN13QP218 (bfv/bfv_benchmark_test.go:11-17)
+  #3 CKKS mult+rescale+hoisted-rotate, PN14QP438 (ckks/ckks_benchmarks_test.go:8)
+  #4 CKKS Chebyshev degree-31 pipeline, PN15QP880
+  #5 dBFV 8-party CKG + PCKS + collective refresh, PN12QP109
+     (dbfv/dbfv_benchmark_test.go:9-17)
+
+Every timed region is jitted and digest-forced (a scalar reduced from the
+outputs is fetched to host, so timings cannot be inflated by async
+dispatch).  Each config runs under a SIGALRM guard so one failure cannot
+starve the others or the headline.
 """
 
 import json
+import signal
 import sys
 import time
 
 import numpy as np
 
+RESULTS = []
 
-def main():
+
+def emit(metric, value, unit, vs_baseline=None, **extra):
+    rec = {"metric": metric, "value": round(float(value), 1), "unit": unit,
+           "vs_baseline": None if vs_baseline is None else round(float(vs_baseline), 4)}
+    rec.update(extra)
+    RESULTS.append(rec)
+    print("CONFIG " + json.dumps(rec), file=sys.stderr, flush=True)
+    return rec
+
+
+class Timeout(Exception):
+    pass
+
+
+def guarded(seconds):
+    def deco(fn):
+        def run(*a, **k):
+            def handler(sig, frm):
+                raise Timeout(f"{fn.__name__} exceeded {seconds}s")
+            old = signal.signal(signal.SIGALRM, handler)
+            signal.alarm(seconds)
+            try:
+                return fn(*a, **k)
+            except Exception as e:  # noqa: BLE001 - report, keep benching
+                emit(fn.__name__ + "_error", 0, f"{type(e).__name__}: {str(e)[:160]}")
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
+        return run
+    return deco
+
+
+def digest_time(fn, args, chain, calls, label):
+    """Time `chain` in-jit iterations x `calls` dispatches of fn."""
     import jax
+    import jax.numpy as jnp
 
-    from lattigo_tpu.ops.ring import Ring
+    @jax.jit
+    def chained(z):
+        out = jax.lax.fori_loop(0, chain, lambda _, a: fn(a), z)
+        leaves = jax.tree_util.tree_leaves(out)
+        d = jnp.sum(leaves[0], dtype=jnp.uint32) ^ jnp.sum(leaves[-1], dtype=jnp.uint32)
+        return out, d
+
+    t0 = time.time()
+    z, d = chained(args)
+    _ = int(d)
+    print(f"{label}: compiled+first in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.time()
+    for _ in range(calls):
+        z, d = chained(z)
+        _ = int(d)
+    return (time.time() - t0) / (chain * calls)
+
+
+# --------------------------------------------------------------------------
+# Config #1 — headline NTT throughput (kept byte-compatible with round 1)
+# --------------------------------------------------------------------------
+
+
+def bench_ntt_headline():
+    import jax
+    import jax.numpy as jnp
+
     from lattigo_tpu.ops import u64 as u
-
-    dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    from lattigo_tpu.ops.ring import Ring
 
     n = 8192
-    moduli = [576460752303439873, 576460752303702017]  # golden-vector 60-bit pair
+    moduli = [576460752303439873, 576460752303702017]  # golden-vector pair
     ring = Ring(n, moduli)
-
-    B = 1024  # batch of polynomials; NTTs per call = B * len(moduli)
+    B = 1024
     rng = np.random.default_rng(0)
     x = rng.integers(0, moduli[0], size=(B, len(moduli), n), dtype=np.uint64)
     x %= np.array(moduli, dtype=np.uint64)[None, :, None]
     X = u.from_u64(x)
 
-    ntt = jax.jit(ring.ntt)
-    y = ntt(X)
-    jax.block_until_ready(y)
-
-    # correctness cross-check: reference schedule on the CPU backend (its
-    # TPU compile is needlessly slow), one sample, bit-exact
+    # hardware bit-exactness, forward AND inverse, vs the reference schedule
+    y = jax.jit(ring.ntt)(X)
+    z = jax.jit(ring.intt)(y)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         x0 = (jax.device_put(X[0][:1], cpu), jax.device_put(X[1][:1], cpu))
         ref = u.to_u64(jax.jit(lambda a: ring._ntt_simple(a, (0, 1)))(x0))
-    got = u.to_u64((y[0][:1], y[1][:1]))
-    assert (ref == got).all(), "fast NTT mismatch vs reference schedule"
-    print("bit-exactness cross-check passed", file=sys.stderr)
+    assert (ref == u.to_u64((y[0][:1], y[1][:1]))).all(), "fwd NTT mismatch on hardware"
+    assert (u.to_u64(z) == x).all(), "inv NTT roundtrip mismatch on hardware"
+    print("bit-exactness (fwd vs reference schedule, inv roundtrip) passed on device",
+          file=sys.stderr, flush=True)
 
-    # steady-state timing: chain the transform inside one jit so a single
-    # device dispatch measures pure device throughput (each python-level
-    # call through the remote-TPU tunnel otherwise adds ~ms of latency).
-    # A scalar digest is fetched to host each call — the transfer cannot
-    # complete before every chained transform has executed, so the timing
-    # cannot be inflated by an unreliable async block_until_ready.
-    chain = 50
+    per_call = digest_time(ring.ntt, X, chain=50, calls=6, label="ntt")
+    rate = B * len(moduli) / per_call
+    return {"metric": "ntt_per_sec_n8192_60bit", "value": round(rate, 1),
+            "unit": "NTT/s/chip", "vs_baseline": round(rate / 1e6, 4)}
+
+
+# --------------------------------------------------------------------------
+# Config #2 — BFV mult+relin at PN13QP218
+# --------------------------------------------------------------------------
+
+
+@guarded(400)
+def bench_bfv_mul_relin():
+    import jax
+
+    from lattigo_tpu.models import bfv
+
+    params = bfv.default_params(bfv.PN13QP218)
+    kgen = bfv.KeyGenerator(params, rng_key=jax.random.key(1))
+    sk, pk = kgen.gen_key_pair()
+    rlk = kgen.gen_relin_key(sk)
+    enc = bfv.Encoder(params)
+    encryptor = bfv.Encryptor(params, pk=pk)
+    ev = bfv.Evaluator(params)
+
+    rng = np.random.default_rng(1)
+    pt = enc.encode_uint(rng.integers(0, params.t, params.n, dtype=np.uint64))
+    ct = encryptor.encrypt(pt)
+
+    def step(z):
+        c0, c1 = z
+        x = bfv.Ciphertext([c0, c1])
+        out = ev.relinearize(ev.mul(x, x), rlk)
+        return out.value[0], out.value[1]
+
+    per = digest_time(step, (ct.value[0], ct.value[1]), chain=4, calls=3,
+                      label="bfv mul+relin PN13")
+    emit("bfv_mul_relin_pn13qp218", 1.0 / per, "op/s/chip",
+         params="PN13QP218", anchor="bfv/bfv_benchmark_test.go:11")
+
+
+# --------------------------------------------------------------------------
+# Config #3 — CKKS mult+rescale+hoisted rotations at PN14QP438
+# --------------------------------------------------------------------------
+
+
+@guarded(500)
+def bench_ckks_mul_rescale_rotate():
+    import jax
+
+    from lattigo_tpu.models import ckks
+
+    params = ckks.default_params(ckks.PN14QP438)
+    kgen = ckks.KeyGenerator(params, rng_key=jax.random.key(2))
+    sk, pk = kgen.gen_key_pair_sparse(hw=128)
+    rlk = kgen.gen_relin_key(sk)
+    rot = kgen.gen_rotation_keys_pow2(sk)
+    enc = ckks.Encoder(params)
+    encryptor = ckks.Encryptor(params, pk=pk)
+    ev = ckks.Evaluator(params)
+
+    rng = np.random.default_rng(2)
+    v = rng.uniform(-1, 1, params.slots).astype(np.complex128)
+    ct = encryptor.encrypt(enc.encode(v))
+
+    depth = 4
 
     @jax.jit
-    def ntt_chain(z):
-        import jax.numpy as jnp
+    def pipeline(ct):
+        z = ct
+        for _ in range(depth):
+            z = ev.rescale(ev.mul_relin(z, z, rlk))
+        rots = ev.rotate_hoisted(z, [1, 2], rot)
+        return ev.add(rots[1], rots[2])
 
-        out = jax.lax.fori_loop(0, chain, lambda _, a: ring.ntt(a), z)
-        digest = jnp.sum(out[0], dtype=jnp.uint32) ^ jnp.sum(out[1], dtype=jnp.uint32)
-        return out, digest
+    import jax.numpy as jnp
 
-    z, d = ntt_chain(X)
-    _ = int(d)
+    def digest(ct):
+        leaves = jax.tree_util.tree_leaves(ct)
+        return int(jnp.sum(leaves[0], dtype=jnp.uint32))
 
-    calls = 6
+    t0 = time.time()
+    out = pipeline(ct)
+    _ = digest(out)
+    print(f"ckks pipeline: compiled+first in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    calls = 8
     t0 = time.time()
     for _ in range(calls):
-        z, d = ntt_chain(z)
-        _ = int(d)
-    dt = time.time() - t0
-    n_ntts = B * len(moduli) * chain * calls
-    rate = n_ntts / dt
-    print(f"{n_ntts} NTTs in {dt:.3f}s (digest {int(d)})", file=sys.stderr)
+        out = pipeline(ct)
+        _ = digest(out)
+    per = (time.time() - t0) / calls
+    # depth mul+rescale pairs + one 2-rotation hoisted rotate per call
+    emit("ckks_mul_rescale_pn14qp438", depth / per, "mul+rescale/s/chip",
+         params="PN14QP438", anchor="ckks/ckks_benchmarks_test.go:8",
+         pipeline_ms=round(per * 1e3, 2))
 
-    print(
-        json.dumps(
-            {
-                "metric": "ntt_per_sec_n8192_60bit",
-                "value": round(rate, 1),
-                "unit": "NTT/s/chip",
-                "vs_baseline": round(rate / 1e6, 4),
-            }
-        )
-    )
+
+# --------------------------------------------------------------------------
+# Config #4 — CKKS degree-31 Chebyshev at PN15QP880
+# --------------------------------------------------------------------------
+
+
+@guarded(600)
+def bench_ckks_cheby31():
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from lattigo_tpu.models import ckks
+
+    params = ckks.default_params(ckks.PN15QP880)
+    kgen = ckks.KeyGenerator(params, rng_key=jax.random.key(3))
+    sk, pk = kgen.gen_key_pair_sparse(hw=128)
+    rlk = kgen.gen_relin_key(sk)
+    enc = ckks.Encoder(params)
+    encryptor = ckks.Encryptor(params, pk=pk)
+    ev = ckks.Evaluator(params)
+
+    cheby = ckks.approximate(lambda x: complex(1 / (1 + math.exp(-x.real)), 0), -8, 8, 31)
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-8, 8, params.slots).astype(np.complex128)
+    ct = encryptor.encrypt(enc.encode(v))
+
+    @jax.jit
+    def pipeline(ct):
+        return ckks.evaluate_cheby_fast(ev, ct, cheby, rlk)
+
+    def digest(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return int(jnp.sum(leaves[0], dtype=jnp.uint32))
+
+    t0 = time.time()
+    out = pipeline(ct)
+    _ = digest(out)
+    print(f"cheby31: compiled+first in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    calls = 4
+    t0 = time.time()
+    for _ in range(calls):
+        out = pipeline(ct)
+        _ = digest(out)
+    per = (time.time() - t0) / calls
+    emit("ckks_cheby31_pn15qp880", 1.0 / per, "eval/s/chip",
+         params="PN15QP880 deg=31", slots_per_sec=round(params.slots / per, 1),
+         anchor="examples/ckks/examples_ckks.go:22")
+
+
+# --------------------------------------------------------------------------
+# Config #5 — dBFV 8-party CKG + PCKS + collective refresh at PN12QP109
+# --------------------------------------------------------------------------
+
+
+@guarded(600)
+def bench_threshold_8party():
+    import jax
+
+    from lattigo_tpu.models import bfv, dbfv
+    from lattigo_tpu.utils.prng import CRPGenerator
+
+    params = bfv.default_params(bfv.PN12QP109)
+    ctx = bfv.get_context(params)
+    n_parties = 8
+    kgens = [bfv.KeyGenerator(params, rng_key=jax.random.key(10 + i)) for i in range(n_parties)]
+    sks = [kg.gen_secret_key() for kg in kgens]
+    crpg = CRPGenerator(b"bench", ctx.ring_qp)
+    crpg.seed(b"seed")
+    crp = crpg.clock_poly()
+    enc = bfv.Encoder(params)
+    rng = np.random.default_rng(5)
+    pt = enc.encode_uint(rng.integers(0, params.t, params.n, dtype=np.uint64))
+
+    def fold(proto, shares):
+        acc = shares[0]
+        for s in shares[1:]:
+            acc = proto.aggregate(acc, s)
+        return acc
+
+    def one_round(seed):
+        ckg = dbfv.CKGProtocol(params, rng_key=jax.random.key(seed))
+        combined = fold(ckg, [ckg.gen_share(sk.sk, crp) for sk in sks])
+        pk = ckg.gen_public_key(combined, crp)
+        encryptor = bfv.Encryptor(params, pk=pk)
+        ct = encryptor.encrypt(pt)
+
+        target_kg = bfv.KeyGenerator(params, rng_key=jax.random.key(seed + 1))
+        sk_out, pk_out = target_kg.gen_key_pair()
+        pcks = dbfv.PCKSProtocol(params, rng_key=jax.random.key(seed + 2))
+        comb = fold(pcks, [pcks.gen_share(sk.sk, pk_out, ct) for sk in sks])
+        ct2 = pcks.key_switch(comb, ct)
+
+        refresh = dbfv.RefreshProtocol(params, rng_key=jax.random.key(seed + 3))
+        crs = crpg.clock_poly()
+        comb_r = fold(refresh, [refresh.gen_share(sk.sk, ct2, crs) for sk in sks])
+        out = refresh.finalize(ct2, crs, comb_r)
+        return out
+
+    t0 = time.time()
+    out = one_round(100)
+    jax.block_until_ready(out.value[0])
+    print(f"threshold: first round (incl. compiles) in {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+    calls = 3
+    t0 = time.time()
+    for i in range(calls):
+        out = one_round(200 + 10 * i)
+        jax.block_until_ready(out.value[0])
+    per = (time.time() - t0) / calls
+    emit("dbfv_8party_ckg_pcks_refresh_pn12qp109", per * 1e3, "ms/pipeline",
+         parties=8, anchor="dbfv/dbfv_benchmark_test.go:9")
+
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr, flush=True)
+
+    headline = bench_ntt_headline()
+    RESULTS.append(headline)
+    print("CONFIG " + json.dumps(headline), file=sys.stderr, flush=True)
+    # the headline is the single stdout JSON line the driver records
+    print(json.dumps(headline), flush=True)
+
+    bench_bfv_mul_relin()
+    bench_ckks_mul_rescale_rotate()
+    bench_ckks_cheby31()
+    bench_threshold_8party()
+
+    with open("BENCH_SCHEMES.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    print("wrote BENCH_SCHEMES.json", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

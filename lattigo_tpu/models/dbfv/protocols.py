@@ -38,6 +38,22 @@ class _Protocol:
         )
         self._n_used = 0
 
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def using_key(self, key):
+        """Temporarily rebase the protocol's randomness on an explicit (possibly
+        traced) PRNG key — the hook the party-mesh runner uses to give each
+        mesh shard independent, reproducible noise inside shard_map."""
+        old = self._key, self._n_used
+        self._key = key
+        self._n_used = 0
+        try:
+            yield
+        finally:
+            self._key, self._n_used = old
+
     def _next_key(self):
         self._n_used += 1
         return jax.random.fold_in(self._key, self._n_used)

@@ -63,3 +63,180 @@ def collective_keygen_mesh(ckg, sk_shares, crp, mesh):
     with mesh:
         out = jax.jit(run)(sk_lo, sk_hi, e_lo, e_hi, crp[0], crp[1])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Generic party-mesh protocol runner (round 2): every dbfv/dckks protocol's
+# GenShare runs as one shard over the ``party`` axis; aggregation is the
+# all-gather + modular fold from mesh.aggregate_mod, applied leaf-wise to the
+# share pytree — the TPU-native form of the reference's Aggregate* adds
+# (dbfv/keyswitching.go:115-118, dbfv/relinkey_gen.go:267-348).
+# ---------------------------------------------------------------------------
+
+
+def _party_spec(tree):
+    return jax.tree.map(lambda _: P("party"), tree)
+
+
+def _rep_spec(tree):
+    return jax.tree.map(lambda _: P(), tree)
+
+
+def _stack_parties(per_party):
+    """List of per-party pytrees -> one pytree with leading party axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_party)
+
+
+def mesh_aggregate(proto, share, axis: str = "party"):
+    """Cross-device fold of a share pytree with the protocol's own
+    ``aggregate`` (exact modular adds on the u32 planes)."""
+    leaves, treedef = jax.tree_util.tree_flatten(share)
+    gathered = [jax.lax.all_gather(leaf, axis) for leaf in leaves]
+    n_party = gathered[0].shape[0]
+    acc = treedef.unflatten([g[0] for g in gathered])
+    for p in range(1, n_party):
+        acc = proto.aggregate(acc, treedef.unflatten([g[p] for g in gathered]))
+    return acc
+
+
+def run_on_party_mesh(proto, mesh, gen_fn, party_args, rep_args):
+    """Aggregate ``gen_fn``'s shares across the mesh ``party`` axis.
+
+    ``gen_fn(*party_slices, *rep_args)`` is the protocol's GenShare, traced
+    once per shard; ``party_args`` is a list of per-party pytree lists (e.g.
+    secret keys), ``rep_args`` a list of replicated pytrees (crp, ciphertext
+    polys, public keys).  Each shard runs with an independent fold of the
+    protocol key, so per-party noise is independent and reproducible.
+    Returns the aggregated share, replicated on every device.
+    """
+    n_party = mesh.shape["party"]
+    keys = jax.random.split(proto._next_key(), n_party)
+    kd = jax.random.key_data(keys)
+
+    stacked = [_stack_parties(pa) for pa in party_args]
+    in_specs = (
+        P("party"),
+        *[_party_spec(s) for s in stacked],
+        *[_rep_spec(r) for r in rep_args],
+    )
+
+    def run(kd_s, *rest):
+        party_slices = [
+            jax.tree.map(lambda a: a[0], s) for s in rest[: len(stacked)]
+        ]
+        reps = rest[len(stacked):]
+        key = jax.random.wrap_key_data(kd_s[0])
+        with proto.using_key(key):
+            share = gen_fn(*party_slices, *reps)
+        return mesh_aggregate(proto, share)
+
+    mapped = functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, check_vma=False
+    )
+
+    # out_specs must match the share structure, discovered abstractly
+    out_tree = jax.eval_shape(
+        lambda *a: gen_fn(
+            *[jax.tree.map(lambda x: x[0], s) for s in a[: len(stacked)]],
+            *a[len(stacked):],
+        ),
+        *stacked, *rep_args,
+    )
+    out_specs = jax.tree.map(lambda _: P(), out_tree)
+
+    fn = mapped(run, out_specs=out_specs)
+    with mesh:
+        return jax.jit(fn)(kd, *stacked, *rep_args)
+
+
+# -- per-protocol conveniences (dbfv and dckks alike) -----------------------
+
+
+def cks_mesh(cks, mesh, sk_in_list, sk_out_list, ct):
+    """Collective key switch on the party mesh -> switched ciphertext."""
+    combined = run_on_party_mesh(
+        cks, mesh,
+        lambda sk_in, sk_out, *ct_polys: cks.gen_share(
+            sk_in, sk_out, _rebuild_ct(ct, ct_polys)
+        ),
+        [sk_in_list, sk_out_list], list(ct.value),
+    )
+    return cks.key_switch(combined, ct)
+
+
+def pcks_mesh(pcks, mesh, sk_list, pk, ct):
+    combined = run_on_party_mesh(
+        pcks, mesh,
+        lambda sk, pk0, pk1, *ct_polys: pcks.gen_share(
+            sk, _PK((pk0, pk1)), _rebuild_ct(ct, ct_polys)
+        ),
+        [sk_list], [pk.pk[0], pk.pk[1], *ct.value],
+    )
+    return pcks.key_switch(combined, ct)
+
+
+def rtg_mesh(rtg, mesh, rot_type, k, sk_list, crp, rot_keys):
+    combined = run_on_party_mesh(
+        rtg, mesh,
+        lambda sk, crp_: rtg.gen_share(rot_type, k, sk, crp_),
+        [sk_list], [crp],
+    )
+    rtg.finalize(rot_type, k, combined, crp, rot_keys)
+    return rot_keys
+
+
+def refresh_mesh(refresh, mesh, sk_list, ct, crs):
+    combined = run_on_party_mesh(
+        refresh, mesh,
+        lambda sk, crs_, *ct_polys: refresh.gen_share(
+            sk, _rebuild_ct(ct, ct_polys), crs_
+        ),
+        [sk_list], [crs, *ct.value],
+    )
+    return refresh.finalize(ct, crs, combined)
+
+
+def rkg_mesh(rkg, mesh, sk_list, crp):
+    """3-round collective relinearization key: each round is one party-mesh
+    shard_map with an aggregation barrier between rounds
+    (dbfv/relinkey_gen.go:212-348)."""
+    n_party = mesh.shape["party"]
+    u_eph = [rkg.new_ephemeral_key() for _ in range(n_party)]
+    r1 = run_on_party_mesh(
+        rkg, mesh,
+        lambda u_e, sk, crp_: rkg.gen_share_round_one(u_e, sk, crp_),
+        [u_eph, sk_list], [crp],
+    )
+    r2 = run_on_party_mesh(
+        rkg, mesh,
+        lambda sk, r1_, crp_: rkg.gen_share_round_two(r1_, sk, crp_),
+        [sk_list], [r1, crp],
+    )
+    r3 = run_on_party_mesh(
+        rkg, mesh,
+        lambda u_e, sk, r2_: rkg.gen_share_round_three(r2_, u_e, sk),
+        [u_eph, sk_list], [r2],
+    )
+    return rkg.gen_relinearization_key(r2, r3)
+
+
+def ckg_mesh(ckg, mesh, sk_list, crp):
+    combined = run_on_party_mesh(
+        ckg, mesh,
+        lambda sk, crp_: ckg.gen_share(sk, crp_),
+        [sk_list], [crp],
+    )
+    return ckg.gen_public_key(combined, crp)
+
+
+def _rebuild_ct(template, polys):
+    """Re-wrap raw poly pairs in the scheme's ciphertext type, preserving
+    static metadata (scale/is_ntt for ckks)."""
+    out = template.copy()
+    out.value = list(polys)
+    return out
+
+
+class _PK:
+    def __init__(self, pk):
+        self.pk = pk
