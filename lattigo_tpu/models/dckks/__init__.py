@@ -6,6 +6,7 @@ from lattigo_tpu.models.dckks.protocols import (
     PCKSProtocol,
     RefreshProtocol,
     RKGProtocol,
+    RKGProtocolNaive,
     RTGProtocol,
 )
 
@@ -14,6 +15,7 @@ __all__ = [
     "CKSProtocol",
     "PCKSProtocol",
     "RKGProtocol",
+    "RKGProtocolNaive",
     "RTGProtocol",
     "RefreshProtocol",
 ]

@@ -223,6 +223,58 @@ class RKGProtocol(_Protocol):
         return EvaluationKey(SwitchingKey(k0, k1))
 
 
+class RKGProtocolNaive(_Protocol):
+    """2-round relinearization-key protocol via pseudo-encryptions under the
+    collective public key (dckks/relinkey_gen_naive.go:9-199) — the max-level
+    mirror of dbfv's naive protocol."""
+
+    def gen_share_round_one(self, sk: U64, pk: PublicKey) -> tuple[U64, U64]:
+        """(cpk0*u + P*sk*1_block + e0, cpk1*u + e1) per decomposition block."""
+        ring = self.ctx.ring_qp
+        pool = ring.inv_mform(
+            ring.mul_scalar_bigint(sk, self.ctx.ring_p.modulus_bigint)
+        )
+        o0, o1 = [], []
+        for i in range(self.params.beta()):
+            e0 = self._gauss_qp_ntt()
+            e0 = self._add_block_q(e0, pool, i)
+            e1 = self._gauss_qp_ntt()
+            uu = ring.ntt(
+                samplers.ternary_poly(self._next_key(), ring, 0.5, montgomery=True)
+            )
+            o0.append(ring.mul_coeffs_montgomery_and_add(pk.pk[0], uu, e0))
+            o1.append(ring.mul_coeffs_montgomery_and_add(pk.pk[1], uu, e1))
+        return self._stack(o0), self._stack(o1)
+
+    def gen_share_round_two(self, round1, sk: U64, pk: PublicKey):
+        """(sk*r1[0] + cpk0*v + e2, sk*r1[1] + cpk1*v + e3) per block."""
+        ring = self.ctx.ring_qp
+        o0, o1 = [], []
+        for i in range(self.params.beta()):
+            r0 = (round1[0][0][i], round1[0][1][i])
+            r1 = (round1[1][0][i], round1[1][1][i])
+            h0 = ring.mul_coeffs_montgomery(r0, sk)
+            h1 = ring.mul_coeffs_montgomery(r1, sk)
+            vv = ring.ntt(
+                samplers.ternary_poly(self._next_key(), ring, 0.5, montgomery=True)
+            )
+            h0 = ring.mul_coeffs_montgomery_and_add(pk.pk[0], vv, h0)
+            h1 = ring.mul_coeffs_montgomery_and_add(pk.pk[1], vv, h1)
+            o0.append(ring.add(h0, self._gauss_qp_ntt()))
+            o1.append(ring.add(h1, self._gauss_qp_ntt()))
+        return self._stack(o0), self._stack(o1)
+
+    def aggregate(self, s1, s2):
+        ring = self.ctx.ring_qp
+        return ring.add(s1[0], s2[0]), ring.add(s1[1], s2[1])
+
+    def gen_relinearization_key(self, round2) -> EvaluationKey:
+        ring = self.ctx.ring_qp
+        return EvaluationKey(
+            SwitchingKey(ring.mform(round2[0]), ring.mform(round2[1]))
+        )
+
+
 class RTGProtocol(_Protocol):
     """Collective rotation keys, + conjugation (dckks/rotkey_gen.go)."""
 

@@ -203,3 +203,26 @@ def test_refresh_restores_level(parties, crp_gen, tools):
     ct2 = rfp.finalize(ct, crs, fold(rfp, shares))
     assert ct2.level == PARAMS.max_level  # level restored
     assert_precision(tools["enc"].decode(tools["dec"].decrypt(ct2)), v, 10)
+
+
+def test_rkg_naive(parties, crp_gen, tools):
+    """2-round naive relinearization key under the collective pk
+    (dckks/relinkey_gen_naive.go:9-199)."""
+    ctx, sks, sk_col = parties
+    ckg = dckks.CKGProtocol(PARAMS)
+    crp = crp_gen.clock_poly()
+    pk = ckg.gen_public_key(
+        fold(ckg, [ckg.gen_share(sk.sk, crp) for sk in sks]), crp
+    )
+    rkg = dckks.RKGProtocolNaive(PARAMS)
+    r1 = fold(rkg, [rkg.gen_share_round_one(sk.sk, pk) for sk in sks])
+    r2 = fold(rkg, [rkg.gen_share_round_two(r1, sk.sk, pk) for sk in sks])
+    rlk = rkg.gen_relinearization_key(r2)
+
+    v0, v1 = rand_values(), rand_values()
+    ct0 = tools["enc_sk"].encrypt(tools["enc"].encode(v0))
+    ct1 = tools["enc_sk"].encrypt(tools["enc"].encode(v1))
+    prod = tools["eval"].mul_relin(ct0, ct1, rlk)
+    assert_precision(
+        tools["enc"].decode(tools["dec"].decrypt(prod)), v0 * v1, 9
+    )
