@@ -13,6 +13,8 @@ Common randomness comes from the clock-synchronized blake2b CRP generator
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
@@ -38,8 +40,6 @@ class _Protocol:
         )
         self._n_used = 0
 
-
-    import contextlib
 
     @contextlib.contextmanager
     def using_key(self, key):
@@ -249,7 +249,11 @@ class RKGProtocolNaive(_Protocol):
         )
 
     def gen_share_round_one(self, sk: U64, pk: PublicKey) -> tuple[U64, U64]:
-        """(cpk0*u + P*sk*1_block + e0, cpk1*u + e1) per block."""
+        """(cpk0*u + P*sk*1_block + e0, cpk1*u + e1) per block.
+
+        Deliberate divergence: dbfv/relinkey_gen_naive.go's round one samples
+        e1 over the e0 slot, leaving h1 noiseless; here e0/e1 go into their
+        own halves (the cryptographically intended form)."""
         ring = self.ctx.ring_qp
         pool = ring.inv_mform(
             ring.mul_scalar_bigint(sk, self.ctx.ring_p.modulus_bigint)

@@ -6,6 +6,8 @@ noise budget AND the level (dckks/public_refresh.go:109-140 Recode)."""
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,8 +35,6 @@ class _Protocol:
         )
         self._n_used = 0
 
-
-    import contextlib
 
     @contextlib.contextmanager
     def using_key(self, key):
@@ -229,7 +229,12 @@ class RKGProtocolNaive(_Protocol):
     mirror of dbfv's naive protocol."""
 
     def gen_share_round_one(self, sk: U64, pk: PublicKey) -> tuple[U64, U64]:
-        """(cpk0*u + P*sk*1_block + e0, cpk1*u + e1) per decomposition block."""
+        """(cpk0*u + P*sk*1_block + e0, cpk1*u + e1) per decomposition block.
+
+        Deliberate divergence: dckks/relinkey_gen_naive.go:73-75 samples e1
+        into shareOut[i][0] (overwriting e0) and leaves h1 noiseless; this
+        implementation samples e0 and e1 into their own halves, which is the
+        cryptographically intended behavior the reference's tests tolerate."""
         ring = self.ctx.ring_qp
         pool = ring.inv_mform(
             ring.mul_scalar_bigint(sk, self.ctx.ring_p.modulus_bigint)

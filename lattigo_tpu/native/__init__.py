@@ -9,9 +9,10 @@ toolchain.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
-import sysconfig
+import tempfile
 
 _DIR = os.path.dirname(__file__)
 _LIB = None
@@ -19,14 +20,27 @@ _TRIED = False
 
 
 def _build() -> str | None:
+    """Compile crp_walk.c into a per-user cache dir, keyed by a hash of the
+    source, so the binary in use always matches the checked-in C file (no
+    prebuilt .so ships with the repo — a stale or divergent binary must
+    never silently drive CRP generation)."""
     src = os.path.join(_DIR, "crp_walk.c")
-    out = os.path.join(_DIR, "_crp_walk.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    with open(src, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.join(tempfile.gettempdir(), f"lattigo_tpu-{os.getuid()}")),
+        "lattigo_tpu_native",
+    )
+    out = os.path.join(cache, f"_crp_walk-{tag}.so")
+    if os.path.exists(out):
         return out
+    os.makedirs(cache, exist_ok=True)
     cc = os.environ.get("CC") or "cc"
-    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", out, src]
+    tmp = out + f".tmp{os.getpid()}"
+    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", tmp, src]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=60)
+        os.replace(tmp, out)
         return out
     except Exception:
         return None
