@@ -6,22 +6,30 @@ metric, bit-exact against the reference schedule on hardware in BOTH
 directions (the same transform the golden vectors check in
 tests/test_ntt_golden.py; harness anchor ring/ring_benchmark_test.go:162).
 
-Configs #2-#5 (stderr lines prefixed ``CONFIG``, also written to
-BENCH_SCHEMES.json): the reference's scheme-level benchmark families on
-their default parameter sets —
+Configs #2-#5 (stderr lines prefixed ``CONFIG``, appended incrementally to
+BENCH_SCHEMES.json as each finishes): the reference's scheme-level
+benchmark families on their default parameter sets —
   #2 BFV mult+relin, PN13QP218 (bfv/bfv_benchmark_test.go:11-17)
   #3 CKKS mult+rescale+hoisted-rotate, PN14QP438 (ckks/ckks_benchmarks_test.go:8)
   #4 CKKS Chebyshev degree-31 pipeline, PN15QP880
   #5 dBFV 8-party CKG + PCKS + collective refresh, PN12QP109
      (dbfv/dbfv_benchmark_test.go:9-17)
+plus a per-op micro table (encode/keygen/encrypt/decrypt/add/mul/relin/
+rotate) mirroring the reference's per-op bench families.
+
+Budget discipline (the round-2 run died on a driver timeout before 3 of 5
+configs produced numbers): a global deadline (BENCH_BUDGET seconds, default
+1500) is checked before each config; keygen runs OUTSIDE the per-config
+guard; compiles hit a persistent compilation cache (.jax_cache/) so reruns
+skip them; results are flushed to BENCH_SCHEMES.json after EVERY config.
 
 Every timed region is jitted and digest-forced (a scalar reduced from the
 outputs is fetched to host, so timings cannot be inflated by async
-dispatch).  Each config runs under a SIGALRM guard so one failure cannot
-starve the others or the headline.
+dispatch).
 """
 
 import json
+import os
 import signal
 import sys
 import time
@@ -29,6 +37,17 @@ import time
 import numpy as np
 
 RESULTS = []
+T_START = time.time()
+BUDGET = float(os.environ.get("BENCH_BUDGET", "1500"))
+
+
+def remaining() -> float:
+    return BUDGET - (time.time() - T_START)
+
+
+def flush_results():
+    with open("BENCH_SCHEMES.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
 
 
 def emit(metric, value, unit, vs_baseline=None, **extra):
@@ -37,6 +56,7 @@ def emit(metric, value, unit, vs_baseline=None, **extra):
     rec.update(extra)
     RESULTS.append(rec)
     print("CONFIG " + json.dumps(rec), file=sys.stderr, flush=True)
+    flush_results()
     return rec
 
 
@@ -49,8 +69,9 @@ def guarded(seconds):
         def run(*a, **k):
             def handler(sig, frm):
                 raise Timeout(f"{fn.__name__} exceeded {seconds}s")
+            budget = int(min(seconds, max(30, remaining())))
             old = signal.signal(signal.SIGALRM, handler)
-            signal.alarm(seconds)
+            signal.alarm(budget)
             try:
                 return fn(*a, **k)
             except Exception as e:  # noqa: BLE001 - report, keep benching
@@ -77,12 +98,13 @@ def digest_time(fn, args, chain, calls, label):
     t0 = time.time()
     z, d = chained(args)
     _ = int(d)
-    print(f"{label}: compiled+first in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    compile_s = time.time() - t0
+    print(f"{label}: compiled+first in {compile_s:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     for _ in range(calls):
         z, d = chained(z)
         _ = int(d)
-    return (time.time() - t0) / (chain * calls)
+    return (time.time() - t0) / (chain * calls), compile_s
 
 
 # --------------------------------------------------------------------------
@@ -92,7 +114,6 @@ def digest_time(fn, args, chain, calls, label):
 
 def bench_ntt_headline():
     import jax
-    import jax.numpy as jnp
 
     from lattigo_tpu.ops import u64 as u
     from lattigo_tpu.ops.ring import Ring
@@ -118,10 +139,11 @@ def bench_ntt_headline():
     print("bit-exactness (fwd vs reference schedule, inv roundtrip) passed on device",
           file=sys.stderr, flush=True)
 
-    per_call = digest_time(ring.ntt, X, chain=50, calls=6, label="ntt")
+    per_call, compile_s = digest_time(ring.ntt, X, chain=50, calls=6, label="ntt")
     rate = B * len(moduli) / per_call
     return {"metric": "ntt_per_sec_n8192_60bit", "value": round(rate, 1),
-            "unit": "NTT/s/chip", "vs_baseline": round(rate / 1e6, 4)}
+            "unit": "NTT/s/chip", "vs_baseline": round(rate / 1e6, 4),
+            "compile_s": round(compile_s, 1)}
 
 
 # --------------------------------------------------------------------------
@@ -129,13 +151,13 @@ def bench_ntt_headline():
 # --------------------------------------------------------------------------
 
 
-@guarded(400)
 def bench_bfv_mul_relin():
     import jax
 
     from lattigo_tpu.models import bfv
 
     params = bfv.default_params(bfv.PN13QP218)
+    # keygen/encode/encrypt OUTSIDE the guarded+timed region
     kgen = bfv.KeyGenerator(params, rng_key=jax.random.key(1))
     sk, pk = kgen.gen_key_pair()
     rlk = kgen.gen_relin_key(sk)
@@ -147,26 +169,32 @@ def bench_bfv_mul_relin():
     pt = enc.encode_uint(rng.integers(0, params.t, params.n, dtype=np.uint64))
     ct = encryptor.encrypt(pt)
 
-    def step(z):
-        c0, c1 = z
-        x = bfv.Ciphertext([c0, c1])
-        out = ev.relinearize(ev.mul(x, x), rlk)
-        return out.value[0], out.value[1]
+    @guarded(420)
+    def run():
+        def step(z):
+            c0, c1 = z
+            x = bfv.Ciphertext([c0, c1])
+            out = ev.relinearize(ev.mul(x, x), rlk)
+            return out.value[0], out.value[1]
 
-    per = digest_time(step, (ct.value[0], ct.value[1]), chain=4, calls=3,
-                      label="bfv mul+relin PN13")
-    emit("bfv_mul_relin_pn13qp218", 1.0 / per, "op/s/chip",
-         params="PN13QP218", anchor="bfv/bfv_benchmark_test.go:11")
+        per, compile_s = digest_time(step, (ct.value[0], ct.value[1]), chain=4,
+                                     calls=3, label="bfv mul+relin PN13")
+        emit("bfv_mul_relin_pn13qp218", 1.0 / per, "op/s/chip",
+             params="PN13QP218", anchor="bfv/bfv_benchmark_test.go:11",
+             compile_s=round(compile_s, 1))
+
+    run.__name__ = "bfv_mul_relin"
+    run()
 
 
 # --------------------------------------------------------------------------
-# Config #3 — CKKS mult+rescale+hoisted rotations at PN14QP438
+# Config #3 — CKKS mult+rescale+hoisted rotation at PN14QP438
 # --------------------------------------------------------------------------
 
 
-@guarded(800)
 def bench_ckks_mul_rescale_rotate():
     import jax
+    import jax.numpy as jnp
 
     from lattigo_tpu.models import ckks
 
@@ -174,7 +202,8 @@ def bench_ckks_mul_rescale_rotate():
     kgen = ckks.KeyGenerator(params, rng_key=jax.random.key(2))
     sk, pk = kgen.gen_key_pair_sparse(hw=128)
     rlk = kgen.gen_relin_key(sk)
-    rot = kgen.gen_rotation_keys_pow2(sk)
+    rot = ckks.RotationKeys()
+    kgen.gen_rot("left", sk, 1, rot)  # one hoisted rotation key (not 27)
     enc = ckks.Encoder(params)
     encryptor = ckks.Encryptor(params, pk=pk)
     ev = ckks.Evaluator(params)
@@ -183,36 +212,36 @@ def bench_ckks_mul_rescale_rotate():
     v = rng.uniform(-1, 1, params.slots).astype(np.complex128)
     ct = encryptor.encrypt(enc.encode(v))
 
-    depth = 2
+    @guarded(600)
+    def run():
+        @jax.jit
+        def pipeline(ct):
+            z = ev.rescale(ev.mul_relin(ct, ct, rlk))
+            rots = ev.rotate_hoisted(z, [1], rot)
+            return rots[1]
 
-    @jax.jit
-    def pipeline(ct):
-        z = ct
-        for _ in range(depth):
-            z = ev.rescale(ev.mul_relin(z, z, rlk))
-        rots = ev.rotate_hoisted(z, [1], rot)
-        return rots[1]
+        def digest(out):
+            leaves = jax.tree_util.tree_leaves(out)
+            return int(jnp.sum(leaves[0], dtype=jnp.uint32))
 
-    import jax.numpy as jnp
-
-    def digest(ct):
-        leaves = jax.tree_util.tree_leaves(ct)
-        return int(jnp.sum(leaves[0], dtype=jnp.uint32))
-
-    t0 = time.time()
-    out = pipeline(ct)
-    _ = digest(out)
-    print(f"ckks pipeline: compiled+first in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
-    calls = 8
-    t0 = time.time()
-    for _ in range(calls):
+        t0 = time.time()
         out = pipeline(ct)
         _ = digest(out)
-    per = (time.time() - t0) / calls
-    # depth mul+rescale pairs + one 2-rotation hoisted rotate per call
-    emit("ckks_mul_rescale_pn14qp438", depth / per, "mul+rescale/s/chip",
-         params="PN14QP438", anchor="ckks/ckks_benchmarks_test.go:8",
-         pipeline_ms=round(per * 1e3, 2))
+        compile_s = time.time() - t0
+        print(f"ckks pipeline: compiled+first in {compile_s:.1f}s",
+              file=sys.stderr, flush=True)
+        calls = 8
+        t0 = time.time()
+        for _ in range(calls):
+            out = pipeline(ct)
+            _ = digest(out)
+        per = (time.time() - t0) / calls
+        emit("ckks_mul_rescale_pn14qp438", 1.0 / per, "mul+rescale+hrot/s/chip",
+             params="PN14QP438", anchor="ckks/ckks_benchmarks_test.go:8",
+             pipeline_ms=round(per * 1e3, 2), compile_s=round(compile_s, 1))
+
+    run.__name__ = "ckks_mul_rescale_rotate"
+    run()
 
 
 # --------------------------------------------------------------------------
@@ -222,9 +251,10 @@ def bench_ckks_mul_rescale_rotate():
 
 def bench_ckks_cheby31():
     n_before = len(RESULTS)
-    _cheby_run(930, "PN15QP880")
+    _cheby_run(700, "PN15QP880")
     if len(RESULTS) == n_before or RESULTS[-1]["metric"].endswith("_error"):
-        _cheby_run(420, "PN13QP218")  # fallback scale if the big set times out
+        if remaining() > 300:
+            _cheby_run(280, "PN13QP218")  # fallback scale if the big set fails
 
 
 def _cheby_run(budget, name):
@@ -267,7 +297,8 @@ def _cheby_body(name):
     t0 = time.time()
     out = pipeline(ct)
     _ = digest(out)
-    print(f"cheby31: compiled+first in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    compile_s = time.time() - t0
+    print(f"cheby31: compiled+first in {compile_s:.1f}s", file=sys.stderr, flush=True)
     calls = 4
     t0 = time.time()
     for _ in range(calls):
@@ -276,7 +307,7 @@ def _cheby_body(name):
     per = (time.time() - t0) / calls
     emit(f"ckks_cheby31_{name.lower()}", 1.0 / per, "eval/s/chip",
          params=f"{name} deg=31", slots_per_sec=round(params.slots / per, 1),
-         anchor="examples/ckks/examples_ckks.go:22")
+         anchor="examples/ckks/examples_ckks.go:22", compile_s=round(compile_s, 1))
 
 
 # --------------------------------------------------------------------------
@@ -284,7 +315,6 @@ def _cheby_body(name):
 # --------------------------------------------------------------------------
 
 
-@guarded(600)
 def bench_threshold_8party():
     import jax
 
@@ -328,40 +358,128 @@ def bench_threshold_8party():
         out = refresh.finalize(ct2, crs, comb_r)
         return out
 
-    t0 = time.time()
-    out = one_round(100)
-    jax.block_until_ready(out.value[0])
-    print(f"threshold: first round (incl. compiles) in {time.time()-t0:.1f}s",
-          file=sys.stderr, flush=True)
-    calls = 3
-    t0 = time.time()
-    for i in range(calls):
-        out = one_round(200 + 10 * i)
-        jax.block_until_ready(out.value[0])
-    per = (time.time() - t0) / calls
-    emit("dbfv_8party_ckg_pcks_refresh_pn12qp109", per * 1e3, "ms/pipeline",
-         parties=8, anchor="dbfv/dbfv_benchmark_test.go:9")
+    @guarded(500)
+    def run():
+        import jax as _jax
+
+        t0 = time.time()
+        out = one_round(100)
+        _jax.block_until_ready(out.value[0])
+        compile_s = time.time() - t0
+        print(f"threshold: first round (incl. compiles) in {compile_s:.1f}s",
+              file=sys.stderr, flush=True)
+        calls = 3
+        t0 = time.time()
+        for i in range(calls):
+            out = one_round(200 + 10 * i)
+            _jax.block_until_ready(out.value[0])
+        per = (time.time() - t0) / calls
+        emit("dbfv_8party_ckg_pcks_refresh_pn12qp109", per * 1e3, "ms/pipeline",
+             parties=8, anchor="dbfv/dbfv_benchmark_test.go:9",
+             compile_s=round(compile_s, 1))
+
+    run.__name__ = "threshold_8party"
+    run()
+
+
+# --------------------------------------------------------------------------
+# Per-op micro table — BFV PN12QP109 (bfv/bfv_benchmark_test.go:11-17)
+# --------------------------------------------------------------------------
+
+
+def bench_per_op_table():
+    import jax
+
+    from lattigo_tpu.models import bfv
+
+    params = bfv.default_params(bfv.PN12QP109)
+    kgen = bfv.KeyGenerator(params, rng_key=jax.random.key(7))
+    sk, pk = kgen.gen_key_pair()
+    rlk = kgen.gen_relin_key(sk)
+    rot = bfv.RotationKeys()
+    kgen.gen_rot("left", sk, 1, rot)
+    enc = bfv.Encoder(params)
+    encryptor = bfv.Encryptor(params, pk=pk)
+    dec = bfv.Decryptor(params, sk)
+    ev = bfv.Evaluator(params)
+
+    rng = np.random.default_rng(7)
+    m = rng.integers(0, params.t, params.n, dtype=np.uint64)
+    pt = enc.encode_uint(m)
+    ct = encryptor.encrypt(pt)
+
+    def timed(label, fn, reps=20):
+        out = fn()
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn()
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        per = (time.time() - t0) / reps
+        emit(f"bfv_{label}_pn12qp109", per * 1e6, "us/op",
+             anchor="bfv/bfv_benchmark_test.go:11")
+
+    enc_j = jax.jit(lambda: enc.encode_uint(m).value)
+    encrypt_j = jax.jit(lambda p: encryptor.encrypt(bfv.Plaintext(p)).value)
+    decrypt_j = jax.jit(lambda c: dec.decrypt(bfv.Ciphertext(c)).value)
+    add_j = jax.jit(lambda c: ev.add(bfv.Ciphertext(c), bfv.Ciphertext(c)).value)
+    mul_j = jax.jit(lambda c: ev.mul(bfv.Ciphertext(c), bfv.Ciphertext(c)).value)
+    mulrelin_j = jax.jit(
+        lambda c: ev.relinearize(ev.mul(bfv.Ciphertext(c), bfv.Ciphertext(c)), rlk).value)
+    rot_j = jax.jit(lambda c: ev.rotate_columns(bfv.Ciphertext(c), 1, rot).value)
+
+    ptv, ctv = pt.value, ct.value
+
+    @guarded(400)
+    def run():
+        timed("encode", enc_j)
+        timed("encrypt", lambda: encrypt_j(ptv))
+        timed("decrypt", lambda: decrypt_j(ctv))
+        timed("add", lambda: add_j(ctv))
+        timed("mul", lambda: mul_j(ctv))
+        timed("mul_relin", lambda: mulrelin_j(ctv))
+        timed("rotate_cols", lambda: rot_j(ctv))
+
+    run.__name__ = "per_op_table"
+    run()
 
 
 def main():
     import jax
 
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr, flush=True)
+    print(f"device: {dev}  budget: {BUDGET:.0f}s", file=sys.stderr, flush=True)
 
     headline = bench_ntt_headline()
     RESULTS.append(headline)
     print("CONFIG " + json.dumps(headline), file=sys.stderr, flush=True)
+    flush_results()
     # the headline is the single stdout JSON line the driver records
     print(json.dumps(headline), flush=True)
 
-    bench_bfv_mul_relin()
-    bench_ckks_mul_rescale_rotate()
-    bench_ckks_cheby31()
-    bench_threshold_8party()
+    configs = [
+        bench_bfv_mul_relin,
+        bench_threshold_8party,
+        bench_ckks_mul_rescale_rotate,
+        bench_ckks_cheby31,
+        bench_per_op_table,
+    ]
+    for cfg in configs:
+        if remaining() < 60:
+            emit(cfg.__name__ + "_skipped", 0, f"global budget exhausted "
+                 f"({BUDGET:.0f}s)")
+            continue
+        print(f"-- {cfg.__name__} (remaining {remaining():.0f}s)",
+              file=sys.stderr, flush=True)
+        cfg()
 
-    with open("BENCH_SCHEMES.json", "w") as f:
-        json.dump(RESULTS, f, indent=1)
+    flush_results()
     print("wrote BENCH_SCHEMES.json", file=sys.stderr, flush=True)
 
 

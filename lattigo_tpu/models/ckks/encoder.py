@@ -130,18 +130,14 @@ class Encoder:
         """ckks/encoder.go:119-168."""
         ctx = self.ctx
         slots = slots if slots is not None else self.params.slots
-        coeffs = ctx.ring_q.poly_to_bigint(ctx.ring_q.intt(pt.value))
+        coeffs = ctx.ring_q.poly_to_bigint_vec(ctx.ring_q.intt(pt.value))
         big_q = ctx.bigint_chain[pt.level]
         q_half = big_q >> 1
 
         gap = ctx.max_slots // slots
-        out = np.empty(slots, dtype=np.complex128)
-        for i in range(slots):
-            re = coeffs[i * gap] % big_q
-            if re >= q_half:
-                re -= big_q
-            im = coeffs[i * gap + ctx.max_slots] % big_q
-            if im >= q_half:
-                im -= big_q
-            out[i] = complex(float(re) / pt.scale, float(im) / pt.scale)
+        re = coeffs[0 : gap * slots : gap] % big_q
+        im = coeffs[ctx.max_slots :: gap][:slots] % big_q
+        re = np.where(re >= q_half, re - big_q, re).astype(np.float64)
+        im = np.where(im >= q_half, im - big_q, im).astype(np.float64)
+        out = (re + 1j * im) / pt.scale
         return special_fft(out, self.m)

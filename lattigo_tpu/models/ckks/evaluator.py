@@ -281,77 +281,74 @@ class Evaluator:
 
     # ---- key switching core (ckks/evaluator.go:1475-1591) ----------------
 
-    def _decompose_blocks(self, lvl: int, c2_coeff: U64, c2_ntt: U64):
-        """NTT-domain decomposition blocks [(xq_ntt, xp_ntt)] * beta(lvl)
-        (decomposeAndSplitNTT, ckks/evaluator.go:1561-1591)."""
+    def _decompose_stacked(self, lvl: int, c2_coeff: U64):
+        """All beta(lvl) decomposition blocks, NTT domain, stacked into ONE
+        [beta, (lvl+1)+n_p, N] tensor transformed by a single batched NTT
+        (decomposeAndSplitNTT, ckks/evaluator.go:1561-1591 — the reference's
+        per-block skip of already-NTT'd limbs is dropped in favor of one
+        fused batched transform: same values mod q, one jit trace, and the
+        batch feeds the TPU kernels at full width).
+
+        Returns (planes, limbs) where limbs are ring_qp table indices for
+        the stacked limb axis."""
         ctx = self.ctx
         dec = ctx.decomposer
-        blocks = []
+        n_q = dec.n_q
+        planes_lo, planes_hi = [], []
         for i in range(self.params.beta(lvl)):
             xq, xp = dec.decompose_and_split(lvl, i, c2_coeff)
-            start, nsrc = dec.source_range(lvl, i)
-            end = start + nsrc
-            nonblock = [j for j in range(lvl + 1) if not (start <= j < end)]
-            parts_lo = [None] * (lvl + 1)
-            parts_hi = [None] * (lvl + 1)
-            if nonblock:
-                sel = (xq[0][..., nonblock, :], xq[1][..., nonblock, :])
-                sel_ntt = ctx.ring_q.ntt_limbs(sel, tuple(nonblock))
-                for k, j in enumerate(nonblock):
-                    parts_lo[j] = sel_ntt[0][..., k : k + 1, :]
-                    parts_hi[j] = sel_ntt[1][..., k : k + 1, :]
-            for j in range(start, end):
-                parts_lo[j] = c2_ntt[0][..., j : j + 1, :]
-                parts_hi[j] = c2_ntt[1][..., j : j + 1, :]
-            xq_ntt = (
-                jnp.concatenate(parts_lo, axis=-2),
-                jnp.concatenate(parts_hi, axis=-2),
-            )
-            xp_ntt = ctx.ring_p.ntt(xp)
-            blocks.append((xq_ntt, xp_ntt))
-        return blocks
+            planes_lo.append(jnp.concatenate([xq[0], xp[0]], axis=-2))
+            planes_hi.append(jnp.concatenate([xq[1], xp[1]], axis=-2))
+        d = (jnp.stack(planes_lo, axis=-3), jnp.stack(planes_hi, axis=-3))
+        limbs = tuple(range(lvl + 1)) + tuple(range(n_q, n_q + dec.n_p))
+        return ctx.ring_qp.ntt_limbs(d, limbs), limbs
 
-    def _key_rows(self, swk, i: int, lvl: int):
-        """Q[0..lvl] and P rows of decomposition block i of a switching key."""
+    def _key_planes(self, swk, beta: int, lvl: int):
+        """Stacked [beta, (lvl+1)+n_p, N] Q+P key planes of both key halves."""
         nq = len(self.params.qi)
-        k0, k1 = swk.key0, swk.key1
-        q0 = (k0[0][i, : lvl + 1], k0[1][i, : lvl + 1])
-        q1 = (k1[0][i, : lvl + 1], k1[1][i, : lvl + 1])
-        p0 = (k0[0][i, nq:], k0[1][i, nq:])
-        p1 = (k1[0][i, nq:], k1[1][i, nq:])
-        return q0, q1, p0, p1
+
+        def sel(k):
+            return (
+                jnp.concatenate([k[0][:beta, : lvl + 1], k[0][:beta, nq:]], axis=-2),
+                jnp.concatenate([k[1][:beta, : lvl + 1], k[1][:beta, nq:]], axis=-2),
+            )
+
+        return sel(swk.key0), sel(swk.key1)
+
+    def _inner_product(self, d: U64, limbs, swk, beta: int, lvl: int):
+        """sum_i key_i (.) d_i with the reference's lazy-reduction discipline
+        (reduce every 7 accumulated [0,q) products: ckks/evaluator.go:1536),
+        folding over the stacked block axis of one batched Montgomery mul."""
+        rqp = self.ctx.ring_qp
+        k0, k1 = self._key_planes(swk, beta, lvl)
+        t0 = rqp.mul_coeffs_montgomery_limbs(k0, d, limbs)
+        t1 = rqp.mul_coeffs_montgomery_limbs(k1, d, limbs)
+
+        def fold(t):
+            acc = (t[0][..., 0, :, :], t[1][..., 0, :, :])
+            pending = 1
+            for i in range(1, beta):
+                acc = u.add64(acc, (t[0][..., i, :, :], t[1][..., i, :, :]))
+                pending += 1
+                if pending == 7:
+                    acc = rqp.reduce_limbs(acc, limbs)
+                    pending = 1
+            return rqp.reduce_limbs(acc, limbs)
+
+        return fold(t0), fold(t1)
 
     def _switch_keys_core(self, lvl: int, cx_ntt: U64, swk) -> tuple[U64, U64]:
         ctx = self.ctx
-        rq, rp = ctx.ring_q, ctx.ring_p
-        c2_coeff = rq.intt(cx_ntt)
-        blocks = self._decompose_blocks(lvl, c2_coeff, cx_ntt)
-
-        aq0 = aq1 = ap0 = ap1 = None
-        pending = 0
-        for i, (xq, xp) in enumerate(blocks):
-            kq0, kq1, kp0, kp1 = self._key_rows(swk, i, lvl)
-            tq0 = rq.mul_coeffs_montgomery(kq0, xq)
-            tq1 = rq.mul_coeffs_montgomery(kq1, xq)
-            tp0 = rp.mul_coeffs_montgomery(kp0, xp)
-            tp1 = rp.mul_coeffs_montgomery(kp1, xp)
-            if aq0 is None:
-                aq0, aq1, ap0, ap1 = tq0, tq1, tp0, tp1
-            else:
-                aq0 = u.add64(aq0, tq0)
-                aq1 = u.add64(aq1, tq1)
-                ap0 = u.add64(ap0, tp0)
-                ap1 = u.add64(ap1, tp1)
-            pending += 1
-            if pending == 7:
-                aq0, aq1 = rq.reduce(aq0), rq.reduce(aq1)
-                ap0, ap1 = rp.reduce(ap0), rp.reduce(ap1)
-                pending = 1
-        aq0, aq1 = rq.reduce(aq0), rq.reduce(aq1)
-        ap0, ap1 = rp.reduce(ap0), rp.reduce(ap1)
+        c2_coeff = ctx.ring_q.intt(cx_ntt)
+        beta = self.params.beta(lvl)
+        d, limbs = self._decompose_stacked(lvl, c2_coeff)
+        a0, a1 = self._inner_product(d, limbs, swk, beta, lvl)
+        nqs = lvl + 1
+        split = lambda x: ((x[0][..., :nqs, :], x[1][..., :nqs, :]),
+                           (x[0][..., nqs:, :], x[1][..., nqs:, :]))
         bx = ctx.basis_q_p
-        p0 = bx.mod_down_split_ntt_pq(aq0, ap0)
-        p1 = bx.mod_down_split_ntt_pq(aq1, ap1)
+        p0 = bx.mod_down_split_ntt_pq(*split(a0))
+        p1 = bx.mod_down_split_ntt_pq(*split(a1))
         return p0, p1
 
     # ---- rotations (ckks/evaluator.go:1201-1473) -------------------------
@@ -397,11 +394,15 @@ class Evaluator:
         """Decompose c1 once, then per rotation only permute + inner product
         (ckks/evaluator.go:1252-1392)."""
         ctx = self.ctx
-        rq, rp = ctx.ring_q, ctx.ring_p
+        rq = ctx.ring_q
         lvl = ct.level
+        beta = self.params.beta(lvl)
         c2_coeff = rq.intt(ct.value[1])
-        blocks = self._decompose_blocks(lvl, c2_coeff, ct.value[1])
+        d, limbs = self._decompose_stacked(lvl, c2_coeff)
         out: dict[int, Ciphertext] = {}
+        nqs = lvl + 1
+        split = lambda x: ((x[0][..., :nqs, :], x[1][..., :nqs, :]),
+                           (x[0][..., nqs:, :], x[1][..., nqs:, :]))
         for k in rotations:
             k &= (ctx.n >> 1) - 1
             if k == 0:
@@ -411,37 +412,11 @@ class Evaluator:
                 raise ValueError(f"missing rotation key {k}")
             gal_el = ctx.gal_el_rot_col_left[k]
             swk = rot_keys.left[k]
-            aq0 = aq1 = ap0 = ap1 = None
-            pending = 0
-            for i, (xq, xp) in enumerate(blocks):
-                xq_p = galois.permute_ntt(xq, gal_el)
-                xp_p = galois.permute_ntt(xp, gal_el)
-                kq0, kq1, kp0, kp1 = self._key_rows(swk, i, lvl)
-                t = [
-                    rq.mul_coeffs_montgomery(kq0, xq_p),
-                    rq.mul_coeffs_montgomery(kq1, xq_p),
-                    rp.mul_coeffs_montgomery(kp0, xp_p),
-                    rp.mul_coeffs_montgomery(kp1, xp_p),
-                ]
-                if aq0 is None:
-                    aq0, aq1, ap0, ap1 = t
-                else:
-                    aq0, aq1, ap0, ap1 = (
-                        u.add64(aq0, t[0]),
-                        u.add64(aq1, t[1]),
-                        u.add64(ap0, t[2]),
-                        u.add64(ap1, t[3]),
-                    )
-                pending += 1
-                if pending == 7:
-                    aq0, aq1 = rq.reduce(aq0), rq.reduce(aq1)
-                    ap0, ap1 = rp.reduce(ap0), rp.reduce(ap1)
-                    pending = 1
-            aq0, aq1 = rq.reduce(aq0), rq.reduce(aq1)
-            ap0, ap1 = rp.reduce(ap0), rp.reduce(ap1)
+            d_p = galois.permute_ntt(d, gal_el)
+            a0, a1 = self._inner_product(d_p, limbs, swk, beta, lvl)
             bx = ctx.basis_q_p
-            p0 = bx.mod_down_split_ntt_pq(aq0, ap0)
-            p1 = bx.mod_down_split_ntt_pq(aq1, ap1)
+            p0 = bx.mod_down_split_ntt_pq(*split(a0))
+            p1 = bx.mod_down_split_ntt_pq(*split(a1))
             c0 = rq.add(galois.permute_ntt(ct.value[0], gal_el), p0)
             out[k] = Ciphertext([c0, p1], ct.scale)
         return out

@@ -97,7 +97,9 @@ class CKGProtocol(_Protocol):
 class CKSProtocol(_Protocol):
     """Collective key switch sk_in -> sk_out (dbfv/keyswitching.go)."""
 
-    def __init__(self, params, sigma_smudging: float = 3.2, **kw):
+    def __init__(self, params, sigma_smudging: float = 6.36, **kw):
+        # default smudging noise matches the reference tests
+        # (dbfv/dbfv_test.go:355,409: 6.36)
         super().__init__(params, **kw)
         self.sigma_smudging = sigma_smudging
 
@@ -131,7 +133,9 @@ class CKSProtocol(_Protocol):
 class PCKSProtocol(_Protocol):
     """Public-key collective key switch sk -> pk (dbfv/public_keyswitching.go)."""
 
-    def __init__(self, params, sigma_smudging: float = 3.2, **kw):
+    def __init__(self, params, sigma_smudging: float = 6.36, **kw):
+        # default smudging noise matches the reference tests
+        # (dbfv/dbfv_test.go:355,409: 6.36)
         super().__init__(params, **kw)
         self.sigma_smudging = sigma_smudging
 

@@ -96,7 +96,9 @@ class CKSProtocol(_Protocol):
     """Collective key switch, NTT-domain and level-aware
     (dckks/keyswitching.go)."""
 
-    def __init__(self, params, sigma_smudging: float = 3.2, **kw):
+    def __init__(self, params, sigma_smudging: float = 6.36, **kw):
+        # default smudging noise matches the reference tests
+        # (dbfv/dbfv_test.go:355,409: 6.36)
         super().__init__(params, **kw)
         self.sigma_smudging = sigma_smudging
 
@@ -126,7 +128,9 @@ class CKSProtocol(_Protocol):
 class PCKSProtocol(_Protocol):
     """Public-key collective key switch (dckks/public_keyswitching.go)."""
 
-    def __init__(self, params, sigma_smudging: float = 3.2, **kw):
+    def __init__(self, params, sigma_smudging: float = 6.36, **kw):
+        # default smudging noise matches the reference tests
+        # (dbfv/dbfv_test.go:355,409: 6.36)
         super().__init__(params, **kw)
         self.sigma_smudging = sigma_smudging
 
@@ -324,32 +328,47 @@ class RefreshProtocol(_Protocol):
     """Collective bootstrap: restores noise budget AND level
     (dckks/public_refresh.go)."""
 
-    def __init__(self, params, rng_key=None, mask_seed: int = 0, **kw):
-        super().__init__(params, rng_key=rng_key, **kw)
-        self._mask_rng = np.random.default_rng(mask_seed ^ 0x5EED)
+    def _uniform_bigint_vec(self, bound: int) -> np.ndarray:
+        """N uniform big-ints in [0, bound), derived from the protocol's
+        jax.random key chain (same explicit-key discipline as every other
+        sampler) and recombined via vectorized object arithmetic."""
+        n_words = (bound.bit_length() + 64 + 31) // 32
+        words = np.asarray(
+            jax.random.bits(self._next_key(), (n_words, self.ctx.n), dtype=jnp.uint32)
+        )
+        acc = np.zeros(self.ctx.n, dtype=object)
+        for w in range(n_words):
+            acc += words[w].astype(object) << (32 * w)
+        return acc % bound
 
-    def gen_shares(
-        self, sk: U64, n_parties: int, ct: ckks.Ciphertext, crs: U64
-    ) -> tuple[U64, U64]:
-        """(h0 at ct level, h1 at max level) (dckks/public_refresh.go:44-96)."""
-        ctx = self.ctx
-        rq = ctx.ring_q
-        lvl = ct.level
+    def gen_mask_planes(self, n_parties: int, lvl: int) -> tuple[U64, U64]:
+        """Host-side phase: one party's big-int smudging mask, bounded by
+        Q_lvl/(2*n_parties) (dckks/public_refresh.go:49-64), returned as RNS
+        planes at the ct level and at max level.  Split out from gen_shares
+        so the remaining (traceable) share math can run under shard_map on a
+        party mesh."""
+        rq = self.ctx.ring_q
         bound = 1
         for q in rq.moduli[: lvl + 1]:
             bound *= q
         bound //= 2 * n_parties
         half = bound >> 1
-        nbytes = (bound.bit_length() + 64) // 8
-        mask = []
-        for _ in range(ctx.n):
-            r = int.from_bytes(self._mask_rng.bytes(nbytes), "big") % bound
-            mask.append(r - bound if r >= half else r)
-        h0 = rq.ntt(rq.set_coeffs_bigint(mask, lvl))
-        h1 = rq.ntt(rq.set_coeffs_bigint(mask))
+        r = self._uniform_bigint_vec(bound)
+        mask = np.where(r >= half, r - bound, r)
+        return rq.set_coeffs_bigint(mask, lvl), rq.set_coeffs_bigint(mask)
+
+    def gen_share_masked(
+        self, sk: U64, ct_c1: U64, crs: U64, mask_lvl: U64, mask_full: U64
+    ) -> tuple[U64, U64]:
+        """Traceable phase of gen_shares: everything after the host big-int
+        mask build (dckks/public_refresh.go:66-96)."""
+        rq = self.ctx.ring_q
+        lvl = rq.level_of(mask_lvl)
+        h0 = rq.ntt(mask_lvl)
+        h1 = rq.ntt(mask_full)
         sk_lvl = drop_to_level(sk, lvl)
         sk_q = drop_to_level(sk, rq.L - 1)
-        h0 = rq.add(h0, rq.mul_coeffs_montgomery(sk_lvl, ct.value[1]))
+        h0 = rq.add(h0, rq.mul_coeffs_montgomery(sk_lvl, ct_c1))
         h1 = rq.add(h1, rq.mul_coeffs_montgomery(sk_q, crs))
         e0 = rq.ntt(
             drop_to_level(samplers.gaussian_poly(self._next_key(), rq, 3.19), lvl)
@@ -358,6 +377,13 @@ class RefreshProtocol(_Protocol):
         e1 = rq.ntt(samplers.gaussian_poly(self._next_key(), rq, 3.19))
         h1 = rq.neg(rq.add(h1, e1))
         return h0, h1
+
+    def gen_shares(
+        self, sk: U64, n_parties: int, ct: ckks.Ciphertext, crs: U64
+    ) -> tuple[U64, U64]:
+        """(h0 at ct level, h1 at max level) (dckks/public_refresh.go:44-96)."""
+        mask_lvl, mask_full = self.gen_mask_planes(n_parties, ct.level)
+        return self.gen_share_masked(sk, ct.value[1], crs, mask_lvl, mask_full)
 
     def aggregate(self, s1, s2):
         rq = self.ctx.ring_q
@@ -371,12 +397,12 @@ class RefreshProtocol(_Protocol):
         h0, h1 = combined
         lvl = ct.level
         masked = rq.add(ct.value[0], h0)
-        coeffs = rq.poly_to_bigint(rq.intt(masked))
+        coeffs = rq.poly_to_bigint_vec(rq.intt(masked))
         q_start = 1
         for q in rq.moduli[: lvl + 1]:
             q_start *= q
         q_half = q_start >> 1
-        centered = [c - q_start if c >= q_half else c for c in coeffs]
+        centered = np.where(coeffs >= q_half, coeffs - q_start, coeffs)
         c0 = rq.ntt(rq.set_coeffs_bigint(centered))
         c0 = rq.add(c0, h1)
         return ckks.Ciphertext([c0, crs], ct.scale)

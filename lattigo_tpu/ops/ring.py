@@ -569,6 +569,21 @@ class Ring:
         q, _, _, _, qinv = self._qc(a)
         return modred.mred(a, b, q, qinv)
 
+    def mul_coeffs_montgomery_limbs(
+        self, a: U64, b: U64, limbs: tuple[int, ...]
+    ) -> U64:
+        """mul_coeffs_montgomery where limb row k of a/b lives under modulus
+        ``limbs[k]`` (non-prefix limb selections: stacked key-switch planes)."""
+        q = self._tbl_rows(self.q_, limbs)
+        qinv = self._tbl_rows(self.qinv_, limbs)
+        return modred.mred(a, b, q, qinv)
+
+    def reduce_limbs(self, a: U64, limbs: tuple[int, ...]) -> U64:
+        """BRedAdd exact reduction with explicit limb-table indices."""
+        q = self._tbl_rows(self.q_, limbs)
+        u0 = self._tbl_rows(self.u0_, limbs)
+        return modred.bred_add(a, q, u0)
+
     def mul_coeffs_montgomery_constant(self, a: U64, b: U64) -> U64:
         q, _, _, _, qinv = self._qc(a)
         return modred.mred_constant(a, b, q, qinv)
@@ -780,37 +795,38 @@ class Ring:
 
     # -- host <-> device coefficient conversion ----------------------------
 
-    def set_coeffs_bigint(self, coeffs: list[int], lvl: int | None = None) -> U64:
+    def set_coeffs_bigint(self, coeffs, lvl: int | None = None) -> U64:
         """Arbitrary-precision coefficients -> RNS residue planes
-        (ring/ring_context.go:424-467)."""
+        (ring/ring_context.go:424-467).  Vectorized over numpy object
+        arrays: the big-int arithmetic runs as one C-level ufunc loop per
+        limb instead of a Python loop per coefficient."""
         L = self.L if lvl is None else lvl + 1
+        co = np.asarray(coeffs, dtype=object)
         rows = np.empty((L, self.n), dtype=np.uint64)
         for i in range(L):
-            qi = self.moduli[i]
-            rows[i] = np.array([c % qi for c in coeffs], dtype=np.uint64)
+            rows[i] = (co % self.moduli[i]).astype(np.uint64)
         return u.from_u64(rows)
 
-    def poly_to_bigint(self, x: U64) -> list[int]:
+    def poly_to_bigint_vec(self, x: U64) -> np.ndarray:
         """CRT reconstruction over the carried limbs
-        (ring/ring_context.go:384-421)."""
+        (ring/ring_context.go:384-421), vectorized: an object ndarray of
+        Python ints in [0, prod(q_i)) built from C-level ufunc loops."""
         arr = u.to_u64(x)
         L = arr.shape[-2]
         mod = 1
         for q in self.moduli[:L]:
             mod *= q
-        recon = []
+        acc = np.zeros(self.n, dtype=object)
         for i in range(L):
             qi = self.moduli[i]
             crt = mod // qi
             crt *= pow(crt, -1, qi)
-            recon.append(crt)
-        out = []
-        for j in range(self.n):
-            v = 0
-            for i in range(L):
-                v += int(arr[i, j]) * recon[i]
-            out.append(v % mod)
-        return out
+            acc += arr[i].astype(object) * crt
+        return acc % mod
+
+    def poly_to_bigint(self, x: U64) -> list[int]:
+        """List-of-ints view of poly_to_bigint_vec."""
+        return self.poly_to_bigint_vec(x).tolist()
 
     def equal(self, a: U64, b: U64) -> bool:
         ra = u.to_u64(self.reduce(a))

@@ -90,6 +90,23 @@ def ntt_four_step(ring, x: U64, mesh, axis: str = "data", n2: int | None = None,
     limbs = tuple(range(ring.level_of(x) + 1))
     L = len(limbs)
 
+    run, b_lo, b_hi = _build_four_step(ring, limbs, mesh, axis, n2, inverse)
+    lo = x[0].reshape(L, n1, n2)
+    hi = x[1].reshape(L, n1, n2)
+    with mesh:
+        out_lo, out_hi = run(lo, hi, b_lo, b_hi)
+    return out_lo.reshape(L, n), out_hi.reshape(L, n)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_four_step(ring, limbs, mesh, axis, n2, inverse):
+    """Jitted sharded transform + stacked phase-B twiddle operands, cached
+    per (ring, limbs, mesh, axis, n2, direction) so repeated calls reuse
+    one trace/compile (and one twiddle-table build)."""
+    n = ring.n
+    n1 = n // n2
+    L = len(limbs)
+
     a_st, A, b_st, B = _phase_tables(ring, limbs, n1, n2, inverse)
     A_dev = [u.from_u64(a) for a in A]
     B_dev = [u.from_u64(b) for b in B]
@@ -193,9 +210,4 @@ def ntt_four_step(ring, x: U64, mesh, axis: str = "data", n2: int | None = None,
         ni2 = (ninvs[0][:, None, :], ninvs[1][:, None, :])
         return modred.mred((lo, hi), ni2, q2, qi2)
 
-    lo = x[0].reshape(L, n1, n2)
-    hi = x[1].reshape(L, n1, n2)
-    with mesh:
-        run = inv if inverse else fwd
-        out_lo, out_hi = jax.jit(run)(lo, hi, b_lo, b_hi)
-    return out_lo.reshape(L, n), out_hi.reshape(L, n)
+    return jax.jit(inv if inverse else fwd), b_lo, b_hi

@@ -186,12 +186,34 @@ def rtg_mesh(rtg, mesh, rot_type, k, sk_list, crp, rot_keys):
 
 
 def refresh_mesh(refresh, mesh, sk_list, ct, crs):
+    """dbfv collective refresh on the party mesh (dbfv/public_refresh.go);
+    dckks refreshes go through refresh_mesh_dckks (their mask build is
+    host-side big-int work that cannot be traced under shard_map)."""
     combined = run_on_party_mesh(
         refresh, mesh,
         lambda sk, crs_, *ct_polys: refresh.gen_share(
             sk, _rebuild_ct(ct, ct_polys), crs_
         ),
         [sk_list], [crs, *ct.value],
+    )
+    return refresh.finalize(ct, crs, combined)
+
+
+def refresh_mesh_dckks(refresh, mesh, sk_list, ct, crs):
+    """dckks collective refresh: per-party big-int masks are built on host
+    (RefreshProtocol.gen_mask_planes, vectorized), then the traceable share
+    math (gen_share_masked) runs as one party-mesh shard_map
+    (dckks/public_refresh.go:44-151)."""
+    n_party = mesh.shape["party"]
+    masks = [refresh.gen_mask_planes(n_party, ct.level) for _ in range(n_party)]
+    mask_lvl = [m[0] for m in masks]
+    mask_full = [m[1] for m in masks]
+    combined = run_on_party_mesh(
+        refresh, mesh,
+        lambda sk, m_lvl, m_full, crs_, c1: refresh.gen_share_masked(
+            sk, c1, crs_, m_lvl, m_full
+        ),
+        [sk_list, mask_lvl, mask_full], [crs, ct.value[1]],
     )
     return refresh.finalize(ct, crs, combined)
 

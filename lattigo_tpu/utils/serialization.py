@@ -214,19 +214,29 @@ def evaluation_key_from_bytes(data: bytes, evk_cls, swk_cls, single: bool = Fals
     return evk_cls(keys[0] if single else keys)
 
 
+# rotation record types (bfv/keygen.go:40-45, ckks/keygen.go:44-49):
+# RotationRight = 1, RotationLeft = 2, RotationRow/Conjugate = 3
+ROT_RIGHT, ROT_LEFT, ROT_EXTRA = 1, 2, 3
+
+
 def rotation_keys_to_bytes(rk) -> bytes:
-    """[#left u16][per key: u16 k + swk] [#right ...] [has_row/conj u8 + swk]."""
+    """Reference RotationKeys format (bfv/marshaler.go:330-385): a stream of
+    records ``[type u8][k u24-big-endian]`` + SwitchingKey bytes; the
+    row/conjugate record carries k = 0 (the reference leaves those 3 bytes
+    zero).  Left keys first, then right, then row/conjugate — the reference
+    iterates Go maps (order-free decode), so any order round-trips."""
     extra = getattr(rk, "row", None)
     if extra is None:
         extra = getattr(rk, "conjugate", None)
-    out = struct.pack(">H", len(rk.left))
+    out = b""
     for k in sorted(rk.left):
-        out += struct.pack(">H", k) + switching_key_to_bytes(rk.left[k])
-    out += struct.pack(">H", len(rk.right))
+        out += bytes([ROT_LEFT]) + int(k).to_bytes(3, "big")
+        out += switching_key_to_bytes(rk.left[k])
     for k in sorted(rk.right):
-        out += struct.pack(">H", k) + switching_key_to_bytes(rk.right[k])
-    out += bytes([1 if extra is not None else 0])
+        out += bytes([ROT_RIGHT]) + int(k).to_bytes(3, "big")
+        out += switching_key_to_bytes(rk.right[k])
     if extra is not None:
+        out += bytes([ROT_EXTRA, 0, 0, 0])
         out += switching_key_to_bytes(extra)
     return out
 
@@ -234,22 +244,23 @@ def rotation_keys_to_bytes(rk) -> bytes:
 def rotation_keys_from_bytes(data: bytes, rk_cls, swk_cls):
     rk = rk_cls()
     ptr = 0
-    for attr in ("left", "right"):
-        (count,) = struct.unpack(">H", data[ptr : ptr + 2])
-        ptr += 2
-        for _ in range(count):
-            (k,) = struct.unpack(">H", data[ptr : ptr + 2])
-            ptr += 2
-            swk, inc = switching_key_from_bytes(data[ptr:], swk_cls)
-            ptr += inc
-            getattr(rk, attr)[k] = swk
-    if data[ptr] == 1:
-        ptr += 1
+    while ptr < len(data):
+        rot_type = data[ptr]
+        k = int.from_bytes(data[ptr + 1 : ptr + 4], "big")
+        ptr += 4
         swk, inc = switching_key_from_bytes(data[ptr:], swk_cls)
-        if hasattr(rk, "row"):
-            rk.row = swk
+        ptr += inc
+        if rot_type == ROT_LEFT:
+            rk.left[k] = swk
+        elif rot_type == ROT_RIGHT:
+            rk.right[k] = swk
+        elif rot_type == ROT_EXTRA:
+            if hasattr(rk, "row"):
+                rk.row = swk
+            else:
+                rk.conjugate = swk
         else:
-            rk.conjugate = swk
+            raise ValueError(f"unknown rotation record type {rot_type}")
     return rk
 
 

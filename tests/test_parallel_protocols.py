@@ -131,3 +131,40 @@ def test_refresh_mesh(setup, mesh):
     crs = crpg.clock_poly()
     ct2 = pp.refresh_mesh(refresh, mesh, [s.sk for s in sks], ct, crs)
     np.testing.assert_array_equal(_roundtrip(enc, sk_col, ct2), msg)
+
+
+def test_refresh_mesh_dckks(mesh):
+    """dckks collective refresh on the party mesh: host-side per-party masks
+    (gen_mask_planes) + traced share math under shard_map; level restored and
+    precision preserved (dckks/public_refresh.go:44-151)."""
+    from lattigo_tpu.models import ckks, dckks
+    from lattigo_tpu.ops import samplers
+
+    cparams = ckks.Parameters(
+        log_n=8, log_slots=7, scale=float(1 << 32),
+        log_qi=(45, 32, 32, 32), log_pi=(45,),
+    ).gen_from_log_moduli()
+    ctx = ckks.get_context(cparams)
+    kgens = [ckks.KeyGenerator(cparams, rng_key=jax.random.key(70 + i))
+             for i in range(N_PARTIES)]
+    sks = [kg.gen_secret_key() for kg in kgens]
+    acc = sks[0].sk
+    for s in sks[1:]:
+        acc = ctx.ring_qp.add(acc, s.sk)
+    sk_col = ckks.SecretKey(acc)
+
+    enc = ckks.Encoder(cparams)
+    encryptor = ckks.Encryptor(cparams, sk=sk_col)
+    dec = ckks.Decryptor(cparams, sk_col)
+    ev = ckks.Evaluator(cparams)
+    v = (RNG.uniform(-1, 1, cparams.slots)
+         + 1j * RNG.uniform(-1, 1, cparams.slots)).astype(np.complex128)
+    ct = ev.drop_level(encryptor.encrypt(enc.encode(v)), 2)
+    assert ct.level == cparams.max_level - 2
+
+    crs = samplers.uniform_poly(jax.random.key(999), ctx.ring_q)
+    refresh = dckks.RefreshProtocol(cparams, rng_key=jax.random.key(8))
+    ct2 = pp.refresh_mesh_dckks(refresh, mesh, [s.sk for s in sks], ct, crs)
+    assert ct2.level == cparams.max_level
+    err = np.maximum(np.abs(enc.decode(dec.decrypt(ct2)) - v), 1e-16)
+    assert np.median(np.log2(1 / err)) >= 10.0
