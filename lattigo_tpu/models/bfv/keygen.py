@@ -65,16 +65,42 @@ class SwitchingKey:
         return cls(*children)
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class EvaluationKey:
     evakey: list[SwitchingKey]  # one per relinearized degree
 
+    def tree_flatten(self):
+        return tuple(self.evakey), ()
 
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(list(children))
+
+
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class RotationKeys:
     left: dict[int, SwitchingKey] = dataclasses.field(default_factory=dict)
     right: dict[int, SwitchingKey] = dataclasses.field(default_factory=dict)
     row: SwitchingKey | None = None
+
+    def tree_flatten(self):
+        lk = tuple(sorted(self.left))
+        rk = tuple(sorted(self.right))
+        children = [self.left[k] for k in lk] + [self.right[k] for k in rk]
+        if self.row is not None:
+            children.append(self.row)
+        return tuple(children), (lk, rk, self.row is not None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        lk, rk, has_row = aux
+        children = list(children)
+        left = {k: children.pop(0) for k in lk}
+        right = {k: children.pop(0) for k in rk}
+        row = children.pop(0) if has_row else None
+        return cls(left, right, row)
 
 
 class KeyGenerator:

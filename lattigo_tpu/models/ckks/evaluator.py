@@ -24,6 +24,7 @@ from lattigo_tpu.models.ckks.elements import (
 )
 from lattigo_tpu.ops import galois, modred, number_theory as nt, scaling
 from lattigo_tpu.ops import u64 as u
+from lattigo_tpu.tjit import table
 
 U64 = u.U64
 
@@ -97,7 +98,18 @@ class Evaluator:
     # ---- NTT-domain constants (ckks/evaluator.go:375-831) ----------------
 
     def _const_planes(self, c_real, c_imag, scale: float, lvl: int, mont: bool):
-        """[lvl+1, N] constant with the +-psi^(N/2) half split."""
+        """[lvl+1, N] constant with the +-psi^(N/2) half split — tjit-managed
+        so per-coefficient planes of a polynomial evaluation ride in as
+        device arguments instead of re-baked HLO constants."""
+        name = (
+            f"{self.ctx.ring_q.key}/ckksconst/"
+            f"{c_real!r}/{c_imag!r}/{scale!r}/{lvl}/{int(mont)}"
+        )
+        return table(
+            name, lambda: self._const_planes_host(c_real, c_imag, scale, lvl, mont)
+        )
+
+    def _const_planes_host(self, c_real, c_imag, scale: float, lvl: int, mont: bool):
         ctx = self.ctx
         n = ctx.n
         rows = np.empty((lvl + 1, n), dtype=np.uint64)

@@ -58,16 +58,42 @@ class SwitchingKey:
         return cls(*children)
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class EvaluationKey:
     evakey: SwitchingKey  # relinearization s^2 -> s
 
+    def tree_flatten(self):
+        return (self.evakey,), ()
 
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class RotationKeys:
     left: dict[int, SwitchingKey] = dataclasses.field(default_factory=dict)
     right: dict[int, SwitchingKey] = dataclasses.field(default_factory=dict)
     conjugate: SwitchingKey | None = None
+
+    def tree_flatten(self):
+        lk = tuple(sorted(self.left))
+        rk = tuple(sorted(self.right))
+        children = [self.left[k] for k in lk] + [self.right[k] for k in rk]
+        if self.conjugate is not None:
+            children.append(self.conjugate)
+        return tuple(children), (lk, rk, self.conjugate is not None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        lk, rk, has_conj = aux
+        children = list(children)
+        left = {k: children.pop(0) for k in lk}
+        right = {k: children.pop(0) for k in rk}
+        conj = children.pop(0) if has_conj else None
+        return cls(left, right, conj)
 
 
 class KeyGenerator:

@@ -15,6 +15,7 @@ import numpy as np
 
 from lattigo_tpu.ops import u64 as u
 from lattigo_tpu.ops.number_theory import bit_reverse
+from lattigo_tpu.tjit import table
 
 U64 = u.U64
 
@@ -47,7 +48,9 @@ def permute_ntt(x: U64, gal_el: int) -> U64:
     """NTT-domain automorphism: one gather along the coefficient axis
     (ring/ring_galois.go:55-103)."""
     n = x[0].shape[-1]
-    idx = jnp.asarray(permute_ntt_index(gal_el, n))
+    idx = table(
+        f"galois/pntt/{n}/{gal_el}", lambda: permute_ntt_index(gal_el, n)
+    )
     return jnp.take(x[0], idx, axis=-1), jnp.take(x[1], idx, axis=-1)
 
 
@@ -69,8 +72,10 @@ def _permute_tables(gal_el: int, n: int) -> tuple[np.ndarray, np.ndarray]:
 def permute(ring, x: U64, gal_el: int) -> U64:
     """Coefficient-domain automorphism with sign flip on wrap-around."""
     n = ring.n
-    src, flip = _permute_tables(gal_el, n)
-    src = jnp.asarray(src)
+    src, flip = table(
+        f"galois/perm/{n}/{gal_el}",
+        lambda: tuple(np.ascontiguousarray(t) for t in _permute_tables(gal_el, n)),
+    )
     flip = jnp.asarray(flip).astype(bool)
     lvl = ring.level_of(x)
     g = (jnp.take(x[0], src, axis=-1), jnp.take(x[1], src, axis=-1))

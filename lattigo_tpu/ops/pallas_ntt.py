@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lattigo_tpu.ops import modred
 from lattigo_tpu.ops import u64 as u
+from lattigo_tpu.tjit import table
 
 U64 = u.U64
 _C = 128  # lane width
@@ -304,7 +305,10 @@ def ntt_pallas_passes(
         # butterfly span: rows coupled by this pass (aligned window)
         span = 2 * max(group)
         rows = min(n, max(span, min_rows))
-        T = _tables_pass(ring, tuple(limbs), inverse, tuple(group), tail)
+        T = table(
+            f"{ring.key}/pallasT/{tuple(limbs)}/{int(inverse)}/{tuple(group)}/{int(tail)}",
+            lambda: _tables_pass(ring, tuple(limbs), inverse, tuple(group), tail),
+        )
         call = _build_call_pass(
             n, L, nb, lanes, inverse, tuple(group), tail, gi == 0, final,
             interpret, rows,

@@ -30,12 +30,14 @@ import numpy as np
 
 from lattigo_tpu.ops import modred, number_theory as nt
 from lattigo_tpu.ops import u64 as u
+from lattigo_tpu.tjit import content_key, table
 
 U64 = u.U64
 
-# Test hook: route the TPU Pallas schedule through the dispatcher on any
-# backend (interpret mode off-TPU) so CI exercises the production path.
+# Test hooks: route the TPU Pallas schedules through the dispatcher on any
+# backend (interpret mode off-TPU) so CI exercises the production paths.
 FORCE_PALLAS = False
+FORCE_TILE = False
 
 
 def _tbl(vals, shape=None) -> U64:
@@ -60,6 +62,9 @@ class Ring:
         self.log_n = n.bit_length() - 1
         self.moduli = [int(q) for q in moduli]
         self.L = len(self.moduli)
+        # content-based identity: rings with equal (n, moduli) share every
+        # tjit-registered table (see lattigo_tpu.tjit)
+        self.key = content_key("ring", n, tuple(self.moduli))
         self.modulus_bigint = 1
         for q in self.moduli:
             self.modulus_bigint *= q
@@ -142,6 +147,13 @@ class Ring:
         idx = np.array(limbs, dtype=np.int32)
         return table[0][idx], table[1][idx]
 
+    def _psi_pair(self, inverse: bool) -> U64:
+        """Managed [L, N] merged-psi table (Montgomery form) — a tjit table
+        so compiled pipelines receive it as a device argument, not an
+        embedded HLO constant."""
+        host = self.ntt_psi_inv_host if inverse else self.ntt_psi_host
+        return table(f"{self.key}/psi{int(inverse)}", lambda: u.from_u64(host))
+
     def ntt(self, x: U64) -> U64:
         """Forward negacyclic NTT over every carried limb (ring/ntt.go:53-86).
 
@@ -184,8 +196,12 @@ class Ring:
                     self, x, limbs, lanes=128, min_rows=1024,
                     interpret=not on_tpu,
                 )
-            if on_tpu:
-                return self.ntt_roll(x, limbs)
+            if on_tpu or FORCE_TILE:
+                # small batch: the tile kernel keeps full lane width with
+                # coefficients (not batch) on the lane axis
+                from lattigo_tpu.ops import tile_ntt
+
+                return tile_ntt.ntt_tile(self, x, limbs, interpret=not on_tpu)
             return self._ntt_fast(x, limbs)
         return self._ntt_simple(x, limbs)
 
@@ -199,7 +215,7 @@ class Ring:
 
     def _ntt_simple(self, x: U64, limbs: tuple[int, ...]) -> U64:
         n = self.n
-        psi = self._tbl_rows(self.psi_, limbs)
+        psi = self._tbl_rows(self._psi_pair(False), limbs)
         q = self._tbl_rows(self.q_, limbs)
         two_q = self._tbl_rows(self.two_q_, limbs)
         qinv = self._tbl_rows(self.qinv_, limbs)
@@ -248,14 +264,18 @@ class Ring:
                     self, x, limbs, inverse=True, lanes=128, min_rows=1024,
                     interpret=not on_tpu,
                 )
-            if on_tpu:
-                return self.ntt_roll(x, limbs, inverse=True)
+            if on_tpu or FORCE_TILE:
+                from lattigo_tpu.ops import tile_ntt
+
+                return tile_ntt.ntt_tile(
+                    self, x, limbs, inverse=True, interpret=not on_tpu
+                )
             return self._intt_fast(x, limbs)
         return self._intt_simple(x, limbs)
 
     def _intt_simple(self, x: U64, limbs: tuple[int, ...]) -> U64:
         n = self.n
-        psi_inv = self._tbl_rows(self.psi_inv_, limbs)
+        psi_inv = self._tbl_rows(self._psi_pair(True), limbs)
         q = self._tbl_rows(self.q_, limbs)
         two_q = self._tbl_rows(self.two_q_, limbs)
         qinv = self._tbl_rows(self.qinv_, limbs)
@@ -315,16 +335,14 @@ class Ring:
         """[L, gc, 1, R] twiddle plane for a transposed-phase stage: element
         (c, r) of the [C, R] view belongs to group r*(C//(2t)) + (c//(2t)),
         twiddle = psi[m + group] (psi_inv for the inverse)."""
-        key = (limbs, m, t, inverse)
-        if key not in self._tw_cache:
+        def build():
             C, R = self._LANE, self.n // self._LANE
             gcn = C // (2 * t)
             host = self.ntt_psi_inv_host if inverse else self.ntt_psi_host
             idx = m + np.arange(R)[None, :] * gcn + np.arange(gcn)[:, None]
-            # cache HOST arrays only — device constants must be created inside
-            # the active trace (caching tracers leaks them across jits)
-            self._tw_cache[key] = host[np.array(limbs)][:, idx][:, :, None, :]
-        return u.from_u64(self._tw_cache[key])
+            return u.from_u64(host[np.array(limbs)][:, idx][:, :, None, :])
+
+        return table(f"{self.key}/stw/{limbs}/{m}/{t}/{int(inverse)}", build)
 
     @staticmethod
     def _transpose(lo, hi, batch, L, rows, cols):
@@ -332,29 +350,32 @@ class Ring:
         hi = hi.reshape(*batch, L, rows, cols).swapaxes(-1, -2)
         return lo.reshape(*batch, L, rows * cols), hi.reshape(*batch, L, rows * cols)
 
-    def _roll_twiddles(self, limbs, inverse) -> tuple[U64, U64]:
+    def _roll_twiddles(self, limbs, inverse) -> tuple[U64, U64, tuple[int, ...]]:
         """Full per-stage twiddle planes [L, S, N] (plain + Shoup) for the
-        roll-based schedule, cached host-side."""
-        key = ("roll", limbs, inverse)
-        if key not in self._tw_cache:
-            n = self.n
+        roll-based schedule — tjit-managed device tables."""
+        n = self.n
+        stages = []
+        t = n // 2
+        while t >= 1:
+            stages.append(t)
+            t //= 2
+        if inverse:
+            stages = stages[::-1]
+        stages = tuple(stages)
+
+        def build():
             plain, shoup = self.shoup_twiddles(inverse)
             plain, shoup = plain[np.array(limbs)], shoup[np.array(limbs)]
-            stages = []
-            t = n // 2
-            while t >= 1:
-                stages.append(t)
-                t //= 2
-            if inverse:
-                stages = stages[::-1]
             fp = np.empty((len(limbs), len(stages), n), dtype=np.uint64)
             fs = np.empty_like(fp)
-            for si, t in enumerate(stages):
-                m = n // (2 * t)
-                fp[:, si] = np.repeat(plain[:, m : 2 * m], 2 * t, axis=1)
-                fs[:, si] = np.repeat(shoup[:, m : 2 * m], 2 * t, axis=1)
-            self._tw_cache[key] = (u.from_u64(fp), u.from_u64(fs), tuple(stages))
-        return self._tw_cache[key]
+            for si, tt in enumerate(stages):
+                m = n // (2 * tt)
+                fp[:, si] = np.repeat(plain[:, m : 2 * m], 2 * tt, axis=1)
+                fs[:, si] = np.repeat(shoup[:, m : 2 * m], 2 * tt, axis=1)
+            return u.from_u64(fp), u.from_u64(fs)
+
+        fp, fs = table(f"{self.key}/roll/{limbs}/{int(inverse)}", build)
+        return fp, fs, stages
 
     def ntt_roll(self, x: U64, limbs: tuple[int, ...], inverse: bool = False) -> U64:
         """Roll-based NTT: no reshapes, every stage is a fused full-width
@@ -405,7 +426,7 @@ class Ring:
     def _ntt_fast(self, x: U64, limbs: tuple[int, ...]) -> U64:
         n, C = self.n, self._LANE
         R = n // C
-        psi = self._tbl_rows(self.psi_, limbs)
+        psi = self._tbl_rows(self._psi_pair(False), limbs)
         q = self._tbl_rows(self.q_, limbs)
         two_q = self._tbl_rows(self.two_q_, limbs)
         qinv = self._tbl_rows(self.qinv_, limbs)
@@ -460,7 +481,7 @@ class Ring:
     def _intt_fast(self, x: U64, limbs: tuple[int, ...]) -> U64:
         n, C = self.n, self._LANE
         R = n // C
-        psi_inv = self._tbl_rows(self.psi_inv_, limbs)
+        psi_inv = self._tbl_rows(self._psi_pair(True), limbs)
         q = self._tbl_rows(self.q_, limbs)
         two_q = self._tbl_rows(self.two_q_, limbs)
         qinv = self._tbl_rows(self.qinv_, limbs)
@@ -692,8 +713,12 @@ class Ring:
             jnp.roll(x[1], shift, axis=-1),
         )
         # wrapped-around coefficients pick up a sign flip
-        idx = np.zeros(n, dtype=bool)
-        idx[:shift] = True
+        def build(s=shift):
+            m = np.zeros(n, dtype=bool)
+            m[:s] = True
+            return m
+
+        idx = table(f"{self.key}/monomask/{shift}", build)
         neg = u.sub64(q, rolled)
         neg = u.select64(u.eq64(rolled, u.const64(0)), rolled, neg)
         return u.select64(jnp.asarray(idx), neg, rolled)
@@ -709,8 +734,11 @@ class Ring:
     def bit_reverse(self, a: U64) -> U64:
         """Permute coefficients into bit-reversed order (ring/ring.go:749)."""
         logn = self.log_n
-        idx = np.array(
-            [nt.bit_reverse(j, logn) for j in range(self.n)], dtype=np.int32
+        idx = table(
+            f"{self.key}/brev",
+            lambda: np.array(
+                [nt.bit_reverse(j, logn) for j in range(self.n)], dtype=np.int32
+            ),
         )
         return jnp.take(a[0], idx, axis=-1), jnp.take(a[1], idx, axis=-1)
 
@@ -741,7 +769,10 @@ class Ring:
         """Galois rotation in NTT form via psi^2 twisting (ring/ring.go:775);
         requires bit-reversed-permuted data before the NTT."""
         lvl = self.level_of(a)
-        tw = u.from_u64(self._rotate_rows(lvl, n_rot))
+        tw = table(
+            f"{self.key}/rotrows/{lvl}/{n_rot}",
+            lambda: u.from_u64(self._rotate_rows(lvl, n_rot)),
+        )
         return modred.mred(
             a, tw, self._c(self.q_, lvl), self._c(self.qinv_, lvl)
         )
