@@ -6,28 +6,30 @@ metric, bit-exact against the reference schedule on hardware in BOTH
 directions (the same transform the golden vectors check in
 tests/test_ntt_golden.py; harness anchor ring/ring_benchmark_test.go:162).
 
-Configs #2-#5 (stderr lines prefixed ``CONFIG``, appended incrementally to
+Configs #2-#6 (stderr lines prefixed ``CONFIG``, appended incrementally to
 BENCH_SCHEMES.json as each finishes): the reference's scheme-level
 benchmark families on their default parameter sets —
   #2 BFV mult+relin, PN13QP218 (bfv/bfv_benchmark_test.go:11-17)
   #3 CKKS mult+rescale+hoisted-rotate, PN14QP438 (ckks/ckks_benchmarks_test.go:8)
-  #4 CKKS Chebyshev degree-31 pipeline, PN15QP880
-  #5 dBFV 8-party CKG + PCKS + collective refresh, PN12QP109
-     (dbfv/dbfv_benchmark_test.go:9-17)
-plus a per-op micro table (encode/keygen/encrypt/decrypt/add/mul/relin/
-rotate) mirroring the reference's per-op bench families.
+  #4 CKKS Chebyshev degree-31 pipeline, PN15QP880 (per-op JitEvaluator)
+  #5 dBFV steady-state per-protocol Gen/Agg/Finalize, PN12QP109
+     (dbfv/dbfv_benchmark_test.go:9-17) + the 8-party end-to-end pipeline
+  #6 per-op micro table (encode/encrypt/decrypt/add/mul/relin/rotate)
 
-Budget discipline (the round-2 run died on a driver timeout before 3 of 5
-configs produced numbers): a global deadline (BENCH_BUDGET seconds, default
-1500) is checked before each config; keygen runs OUTSIDE the per-config
-guard; compiles hit a persistent compilation cache (.jax_cache/) so reruns
-skip them; results are flushed to BENCH_SCHEMES.json after EVERY config.
+All timed regions are ``tjit`` programs: precomputed tables and keys ride
+in as device ARGUMENTS (lattigo_tpu/tjit.py), not trace-baked constants —
+this is what lets PN14/PN15 compile within the remote-compile request
+limit.  Timing loops chain outputs into inputs (z <- f(z)) or use distinct
+inputs so XLA cannot elide repeated executions, and a device digest is
+fetched after the loop.
 
-Every timed region is jitted and digest-forced (a scalar reduced from the
-outputs is fetched to host, so timings cannot be inflated by async
-dispatch).
+Budget discipline: a global deadline (BENCH_BUDGET seconds, default 1500)
+is checked before each config; keygen runs OUTSIDE the per-config guard;
+compiles hit a persistent compilation cache (.jax_cache/); results are
+flushed to BENCH_SCHEMES.json after EVERY config.
 """
 
+import faulthandler
 import json
 import os
 import signal
@@ -35,6 +37,11 @@ import sys
 import time
 
 import numpy as np
+
+# diagnosis hooks: `kill -USR1 <pid>` dumps all thread stacks to stderr,
+# and a watchdog dumps automatically if the process stalls >5 min
+faulthandler.register(signal.SIGUSR1, file=sys.stderr)
+faulthandler.dump_traceback_later(300, repeat=True, file=sys.stderr)
 
 RESULTS = []
 T_START = time.time()
@@ -83,28 +90,24 @@ def guarded(seconds):
     return deco
 
 
-def digest_time(fn, args, chain, calls, label):
-    """Time `chain` in-jit iterations x `calls` dispatches of fn."""
-    import jax
-    import jax.numpy as jnp
+def chain_time(fn, z0, calls, label, fixed=()):
+    """Time ``z <- fn(z, *fixed)`` chained so every call has fresh data.
 
-    @jax.jit
-    def chained(z):
-        out = jax.lax.fori_loop(0, chain, lambda _, a: fn(a), z)
-        leaves = jax.tree_util.tree_leaves(out)
-        d = jnp.sum(leaves[0], dtype=jnp.uint32) ^ jnp.sum(leaves[-1], dtype=jnp.uint32)
-        return out, d
+    Returns (seconds per call, compile seconds).  fn must map its first
+    argument's pytree onto itself.
+    """
+    import jax
 
     t0 = time.time()
-    z, d = chained(args)
-    _ = int(d)
+    z = fn(z0, *fixed)
+    jax.block_until_ready(jax.tree_util.tree_leaves(z)[0])
     compile_s = time.time() - t0
     print(f"{label}: compiled+first in {compile_s:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     for _ in range(calls):
-        z, d = chained(z)
-        _ = int(d)
-    return (time.time() - t0) / (chain * calls), compile_s
+        z = fn(z, *fixed)
+    jax.block_until_ready(jax.tree_util.tree_leaves(z)[0])
+    return (time.time() - t0) / calls, compile_s
 
 
 # --------------------------------------------------------------------------
@@ -115,6 +118,7 @@ def digest_time(fn, args, chain, calls, label):
 def bench_ntt_headline():
     import jax
 
+    from lattigo_tpu import tjit as T
     from lattigo_tpu.ops import u64 as u
     from lattigo_tpu.ops.ring import Ring
 
@@ -126,24 +130,63 @@ def bench_ntt_headline():
     x = rng.integers(0, moduli[0], size=(B, len(moduli), n), dtype=np.uint64)
     x %= np.array(moduli, dtype=np.uint64)[None, :, None]
     X = u.from_u64(x)
+    X = (jax.device_put(X[0]), jax.device_put(X[1]))
 
-    # hardware bit-exactness, forward AND inverse, vs the reference schedule
-    y = jax.jit(ring.ntt)(X)
-    z = jax.jit(ring.intt)(y)
+    ntt_j = T.tjit(ring.ntt)
+    intt_j = T.tjit(ring.intt)
+
+    # hardware bit-exactness, forward AND inverse, vs the reference schedule.
+    # NOTE: no eager device ops here — eager slicing through the axon tunnel
+    # can wedge indefinitely; slices run jitted, the reference runs on the
+    # host copy under the CPU backend.
+    y = ntt_j(X)
+    z = intt_j(y)
+    slice1 = jax.jit(lambda a: (a[0][:1], a[1][:1]))
+    y1 = jax.tree.map(np.asarray, slice1(y))
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        x0 = (jax.device_put(X[0][:1], cpu), jax.device_put(X[1][:1], cpu))
-        ref = u.to_u64(jax.jit(lambda a: ring._ntt_simple(a, (0, 1)))(x0))
-    assert (ref == u.to_u64((y[0][:1], y[1][:1]))).all(), "fwd NTT mismatch on hardware"
-    assert (u.to_u64(z) == x).all(), "inv NTT roundtrip mismatch on hardware"
+        ref = u.to_u64(jax.jit(lambda a: ring._ntt_simple(a, (0, 1)))(u.from_u64(x[:1])))
+    assert (ref == u.to_u64(y1)).all(), "fwd NTT mismatch on hardware"
+    assert (u.to_u64((np.asarray(z[0]), np.asarray(z[1]))) == x).all(), \
+        "inv NTT roundtrip mismatch on hardware"
     print("bit-exactness (fwd vs reference schedule, inv roundtrip) passed on device",
           file=sys.stderr, flush=True)
 
-    per_call, compile_s = digest_time(ring.ntt, X, chain=50, calls=6, label="ntt")
+    per_call, compile_s = chain_time(ntt_j, X, calls=40, label="ntt")
     rate = B * len(moduli) / per_call
     return {"metric": "ntt_per_sec_n8192_60bit", "value": round(rate, 1),
             "unit": "NTT/s/chip", "vs_baseline": round(rate / 1e6, 4),
             "compile_s": round(compile_s, 1)}
+
+
+def bench_ntt_single_ct():
+    """Single-ciphertext ([L, N], batch 1) NTT rate through the tile kernel
+    — the shape every scheme-level op on one ciphertext sees."""
+    import jax
+
+    from lattigo_tpu import tjit as T
+    from lattigo_tpu.ops import u64 as u
+    from lattigo_tpu.ops.ring import Ring
+
+    n = 8192
+    moduli = [576460752303439873, 576460752303702017]
+    ring = Ring(n, moduli)
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, moduli[0], size=(len(moduli), n), dtype=np.uint64)
+    x %= np.array(moduli, dtype=np.uint64)[:, None]
+    X = u.from_u64(x)
+    X = (jax.device_put(X[0]), jax.device_put(X[1]))
+
+    ntt_j = T.tjit(ring.ntt)
+
+    @guarded(150)
+    def run():
+        per, compile_s = chain_time(ntt_j, X, calls=100, label="ntt single-ct")
+        emit("ntt_single_ct_n8192_60bit", len(moduli) / per, "NTT/s/chip",
+             note="batch=1 [L,N] tile-kernel path", compile_s=round(compile_s, 1))
+
+    run.__name__ = "ntt_single_ct"
+    run()
 
 
 # --------------------------------------------------------------------------
@@ -154,6 +197,7 @@ def bench_ntt_headline():
 def bench_bfv_mul_relin():
     import jax
 
+    from lattigo_tpu import tjit as T
     from lattigo_tpu.models import bfv
 
     params = bfv.default_params(bfv.PN13QP218)
@@ -169,16 +213,12 @@ def bench_bfv_mul_relin():
     pt = enc.encode_uint(rng.integers(0, params.t, params.n, dtype=np.uint64))
     ct = encryptor.encrypt(pt)
 
+    step = T.tjit(lambda c, k: ev.relinearize(ev.mul(c, c), k))
+
     @guarded(420)
     def run():
-        def step(z):
-            c0, c1 = z
-            x = bfv.Ciphertext([c0, c1])
-            out = ev.relinearize(ev.mul(x, x), rlk)
-            return out.value[0], out.value[1]
-
-        per, compile_s = digest_time(step, (ct.value[0], ct.value[1]), chain=4,
-                                     calls=3, label="bfv mul+relin PN13")
+        per, compile_s = chain_time(step, ct, calls=20,
+                                    label="bfv mul+relin PN13", fixed=(rlk,))
         emit("bfv_mul_relin_pn13qp218", 1.0 / per, "op/s/chip",
              params="PN13QP218", anchor="bfv/bfv_benchmark_test.go:11",
              compile_s=round(compile_s, 1))
@@ -194,8 +234,8 @@ def bench_bfv_mul_relin():
 
 def bench_ckks_mul_rescale_rotate():
     import jax
-    import jax.numpy as jnp
 
+    from lattigo_tpu import tjit as T
     from lattigo_tpu.models import ckks
 
     params = ckks.default_params(ckks.PN14QP438)
@@ -209,32 +249,30 @@ def bench_ckks_mul_rescale_rotate():
     ev = ckks.Evaluator(params)
 
     rng = np.random.default_rng(2)
-    v = rng.uniform(-1, 1, params.slots).astype(np.complex128)
-    ct = encryptor.encrypt(enc.encode(v))
+    # distinct same-signature inputs (one trace, un-elidable executions)
+    cts = [
+        encryptor.encrypt(enc.encode(
+            rng.uniform(-1, 1, params.slots).astype(np.complex128)))
+        for _ in range(3)
+    ]
+
+    pipeline = T.tjit(
+        lambda c, k, r: ev.rotate_hoisted(ev.rescale(ev.mul_relin(c, c, k)), [1], r)[1]
+    )
 
     @guarded(600)
     def run():
-        @jax.jit
-        def pipeline(ct):
-            z = ev.rescale(ev.mul_relin(ct, ct, rlk))
-            rots = ev.rotate_hoisted(z, [1], rot)
-            return rots[1]
-
-        def digest(out):
-            leaves = jax.tree_util.tree_leaves(out)
-            return int(jnp.sum(leaves[0], dtype=jnp.uint32))
-
         t0 = time.time()
-        out = pipeline(ct)
-        _ = digest(out)
+        out = pipeline(cts[0], rlk, rot)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
         compile_s = time.time() - t0
         print(f"ckks pipeline: compiled+first in {compile_s:.1f}s",
               file=sys.stderr, flush=True)
-        calls = 8
+        calls = 12
         t0 = time.time()
-        for _ in range(calls):
-            out = pipeline(ct)
-            _ = digest(out)
+        for i in range(calls):
+            out = pipeline(cts[i % len(cts)], rlk, rot)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
         per = (time.time() - t0) / calls
         emit("ckks_mul_rescale_pn14qp438", 1.0 / per, "mul+rescale+hrot/s/chip",
              params="PN14QP438", anchor="ckks/ckks_benchmarks_test.go:8",
@@ -245,7 +283,7 @@ def bench_ckks_mul_rescale_rotate():
 
 
 # --------------------------------------------------------------------------
-# Config #4 — CKKS degree-31 Chebyshev at PN15QP880
+# Config #4 — CKKS degree-31 Chebyshev at PN15QP880 (per-op JitEvaluator)
 # --------------------------------------------------------------------------
 
 
@@ -254,7 +292,7 @@ def bench_ckks_cheby31():
     _cheby_run(700, "PN15QP880")
     if len(RESULTS) == n_before or RESULTS[-1]["metric"].endswith("_error"):
         if remaining() > 300:
-            _cheby_run(280, "PN13QP218")  # fallback scale if the big set fails
+            _cheby_run(280, "PN14QP438")  # fallback scale if the big set fails
 
 
 def _cheby_run(budget, name):
@@ -269,7 +307,6 @@ def _cheby_body(name):
     import math
 
     import jax
-    import jax.numpy as jnp
 
     from lattigo_tpu.models import ckks
 
@@ -279,40 +316,139 @@ def _cheby_body(name):
     rlk = kgen.gen_relin_key(sk)
     enc = ckks.Encoder(params)
     encryptor = ckks.Encryptor(params, pk=pk)
-    ev = ckks.Evaluator(params)
+    # per-op compiled evaluator: one trace per (op, level, scale) signature,
+    # reused across the whole BSGS tree — no monolithic circuit program
+    ev = ckks.JitEvaluator(params)
 
     cheby = ckks.approximate(lambda x: complex(1 / (1 + math.exp(-x.real)), 0), -8, 8, 31)
     rng = np.random.default_rng(3)
-    v = rng.uniform(-8, 8, params.slots).astype(np.complex128)
-    ct = encryptor.encrypt(enc.encode(v))
+    cts = [
+        encryptor.encrypt(enc.encode(
+            rng.uniform(-8, 8, params.slots).astype(np.complex128)))
+        for _ in range(2)
+    ]
 
-    @jax.jit
-    def pipeline(ct):
-        return ckks.evaluate_cheby_fast(ev, ct, cheby, rlk)
-
-    def digest(out):
-        leaves = jax.tree_util.tree_leaves(out)
-        return int(jnp.sum(leaves[0], dtype=jnp.uint32))
+    def pipeline(c):
+        return ckks.evaluate_cheby_fast(ev, c, cheby, rlk)
 
     t0 = time.time()
-    out = pipeline(ct)
-    _ = digest(out)
+    out = pipeline(cts[0])
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
     compile_s = time.time() - t0
-    print(f"cheby31: compiled+first in {compile_s:.1f}s", file=sys.stderr, flush=True)
+    traces = sum(f.trace_count() for f in ev._jops.values())
+    print(f"cheby31: compiled+first in {compile_s:.1f}s ({traces} op traces)",
+          file=sys.stderr, flush=True)
     calls = 4
     t0 = time.time()
-    for _ in range(calls):
-        out = pipeline(ct)
-        _ = digest(out)
+    for i in range(calls):
+        out = pipeline(cts[i % len(cts)])
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
     per = (time.time() - t0) / calls
     emit(f"ckks_cheby31_{name.lower()}", 1.0 / per, "eval/s/chip",
          params=f"{name} deg=31", slots_per_sec=round(params.slots / per, 1),
-         anchor="examples/ckks/examples_ckks.go:22", compile_s=round(compile_s, 1))
+         op_traces=traces, anchor="examples/ckks/examples_ckks.go:22",
+         compile_s=round(compile_s, 1))
 
 
 # --------------------------------------------------------------------------
-# Config #5 — dBFV 8-party CKG + PCKS + collective refresh at PN12QP109
+# Config #5 — dBFV: steady-state per-protocol Gen/Agg/Finalize + pipeline
 # --------------------------------------------------------------------------
+
+
+def _keyed(proto, method):
+    """tjit a protocol phase with an explicit PRNG key argument so warm
+    calls reuse one trace (the protocol's internal fold_in counter would
+    otherwise retrace per call)."""
+    from lattigo_tpu import tjit as T
+
+    def fn(key, *args):
+        with proto.using_key(key):
+            return method(*args)
+
+    return T.tjit(fn)
+
+
+def bench_threshold_steady():
+    """Per-protocol steady-state timings, PN12QP109 — the shape of
+    dbfv/dbfv_benchmark_test.go:9-17 (Gen/Agg/Finalize per protocol),
+    compile excluded, 5 warm iterations."""
+    import jax
+
+    from lattigo_tpu.models import bfv, dbfv
+    from lattigo_tpu.utils.prng import CRPGenerator
+
+    params = bfv.default_params(bfv.PN12QP109)
+    ctx = bfv.get_context(params)
+    kg0 = bfv.KeyGenerator(params, rng_key=jax.random.key(40))
+    kg1 = bfv.KeyGenerator(params, rng_key=jax.random.key(41))
+    sk0, pk0 = kg0.gen_key_pair()
+    sk1, pk1 = kg1.gen_key_pair()
+    crpg = CRPGenerator(b"bench", ctx.ring_qp)
+    crpg.seed(b"steady")
+    crp = crpg.clock_poly()
+    enc = bfv.Encoder(params)
+    encryptor = bfv.Encryptor(params, pk=pk0)
+    rng = np.random.default_rng(9)
+    pt = enc.encode_uint(rng.integers(0, params.t, params.n, dtype=np.uint64))
+    ct = encryptor.encrypt(pt)
+
+    def timed(label, fn, *args, reps=5):
+        out = fn(*args)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.time()
+        for i in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        per = (time.time() - t0) / reps
+        emit(f"dbfv_{label}_pn12qp109", per * 1e6, "us/op",
+             anchor="dbfv/dbfv_benchmark_test.go:9")
+        return out
+
+    key = jax.random.key(77)
+
+    @guarded(500)
+    def run():
+        ckg = dbfv.CKGProtocol(params)
+        s = timed("ckg_gen", _keyed(ckg, ckg.gen_share), key, sk0.sk, crp)
+        timed("ckg_agg", _keyed(ckg, ckg.aggregate), key, s, s)
+
+        cks = dbfv.CKSProtocol(params)
+        s = timed("cks_gen", _keyed(cks, cks.gen_share), key, sk0.sk, sk1.sk, ct)
+        timed("cks_agg", _keyed(cks, cks.aggregate), key, s, s)
+        timed("cks_finalize", _keyed(cks, cks.key_switch), key, s, ct)
+
+        pcks = dbfv.PCKSProtocol(params)
+        s = timed("pcks_gen", _keyed(pcks, pcks.gen_share), key, sk0.sk, pk1, ct)
+        timed("pcks_agg", _keyed(pcks, pcks.aggregate), key, s, s)
+        timed("pcks_finalize", _keyed(pcks, pcks.key_switch), key, s, ct)
+
+        import jax.numpy as jnp
+
+        rkg = dbfv.RKGProtocol(params)
+        with rkg.using_key(jax.random.key(78)):
+            u_eph = rkg.new_ephemeral_key()
+        crps = [crpg.clock_poly() for _ in range(params.beta)]
+        crp_b = (jnp.stack([p[0] for p in crps]), jnp.stack([p[1] for p in crps]))
+        r1 = timed("rkg_round1_gen", _keyed(rkg, rkg.gen_share_round_one),
+                   key, u_eph, sk0.sk, crp_b)
+        r2 = timed("rkg_round2_gen", _keyed(rkg, rkg.gen_share_round_two),
+                   key, r1, sk0.sk, crp_b)
+        r3 = timed("rkg_round3_gen", _keyed(rkg, rkg.gen_share_round_three),
+                   key, r2, u_eph, sk0.sk)
+        timed("rkg_finalize", _keyed(rkg, rkg.gen_relinearization_key), key, r2, r3)
+
+        rtg = dbfv.RTGProtocol(params)
+        s = timed("rtg_gen", _keyed(rtg, lambda sk, c: rtg.gen_share("left", 1, sk, c)),
+                  key, sk0.sk, crp_b)
+        timed("rtg_agg", _keyed(rtg, rtg.aggregate), key, s, s)
+
+        refresh = dbfv.RefreshProtocol(params)
+        s = timed("refresh_gen", _keyed(refresh, refresh.gen_share), key, sk0.sk, ct, crp)
+        timed("refresh_agg", _keyed(refresh, refresh.aggregate), key, s, s)
+        timed("refresh_finalize", _keyed(refresh, refresh.finalize), key, ct, crp, s)
+
+    run.__name__ = "threshold_steady"
+    run()
 
 
 def bench_threshold_8party():
@@ -358,7 +494,7 @@ def bench_threshold_8party():
         out = refresh.finalize(ct2, crs, comb_r)
         return out
 
-    @guarded(500)
+    @guarded(400)
     def run():
         import jax as _jax
 
@@ -390,6 +526,7 @@ def bench_threshold_8party():
 def bench_per_op_table():
     import jax
 
+    from lattigo_tpu import tjit as T
     from lattigo_tpu.models import bfv
 
     params = bfv.default_params(bfv.PN12QP109)
@@ -408,37 +545,32 @@ def bench_per_op_table():
     pt = enc.encode_uint(m)
     ct = encryptor.encrypt(pt)
 
-    def timed(label, fn, reps=20):
-        out = fn()
+    def timed(label, fn, *args, reps=20):
+        out = fn(*args)
         jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
         t0 = time.time()
         for _ in range(reps):
-            out = fn()
+            out = fn(*args)
         jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
         per = (time.time() - t0) / reps
         emit(f"bfv_{label}_pn12qp109", per * 1e6, "us/op",
              anchor="bfv/bfv_benchmark_test.go:11")
 
-    enc_j = jax.jit(lambda: enc.encode_uint(m).value)
-    encrypt_j = jax.jit(lambda p: encryptor.encrypt(bfv.Plaintext(p)).value)
-    decrypt_j = jax.jit(lambda c: dec.decrypt(bfv.Ciphertext(c)).value)
-    add_j = jax.jit(lambda c: ev.add(bfv.Ciphertext(c), bfv.Ciphertext(c)).value)
-    mul_j = jax.jit(lambda c: ev.mul(bfv.Ciphertext(c), bfv.Ciphertext(c)).value)
-    mulrelin_j = jax.jit(
-        lambda c: ev.relinearize(ev.mul(bfv.Ciphertext(c), bfv.Ciphertext(c)), rlk).value)
-    rot_j = jax.jit(lambda c: ev.rotate_columns(bfv.Ciphertext(c), 1, rot).value)
-
-    ptv, ctv = pt.value, ct.value
+    encrypt_j = T.tjit(lambda p: encryptor.encrypt(p))
+    decrypt_j = T.tjit(lambda c: dec.decrypt(c))
+    add_j = T.tjit(lambda c: ev.add(c, c))
+    mul_j = T.tjit(lambda c: ev.mul(c, c))
+    mulrelin_j = T.tjit(lambda c, k: ev.relinearize(ev.mul(c, c), k))
+    rot_j = T.tjit(lambda c, r: ev.rotate_columns(c, 1, r))
 
     @guarded(400)
     def run():
-        timed("encode", enc_j)
-        timed("encrypt", lambda: encrypt_j(ptv))
-        timed("decrypt", lambda: decrypt_j(ctv))
-        timed("add", lambda: add_j(ctv))
-        timed("mul", lambda: mul_j(ctv))
-        timed("mul_relin", lambda: mulrelin_j(ctv))
-        timed("rotate_cols", lambda: rot_j(ctv))
+        timed("encrypt", encrypt_j, pt)
+        timed("decrypt", decrypt_j, ct)
+        timed("add", add_j, ct)
+        timed("mul", mul_j, ct)
+        timed("mul_relin", mulrelin_j, ct, rlk)
+        timed("rotate_cols", rot_j, ct, rot)
 
     run.__name__ = "per_op_table"
     run()
@@ -464,10 +596,12 @@ def main():
     print(json.dumps(headline), flush=True)
 
     configs = [
+        bench_ntt_single_ct,
         bench_bfv_mul_relin,
-        bench_threshold_8party,
         bench_ckks_mul_rescale_rotate,
         bench_ckks_cheby31,
+        bench_threshold_steady,
+        bench_threshold_8party,
         bench_per_op_table,
     ]
     for cfg in configs:

@@ -177,7 +177,12 @@ class Evaluator:
         p0 = rqp.intt(p0)
         p1 = rqp.intt(p1)
         nq = ctx.ring_q.L
-        split = lambda x: ((x[0][:nq], x[1][:nq]), (x[0][nq:], x[1][nq:]))
+        # ellipsis slicing: cx may carry leading batch dims (batched cloud
+        # pipelines stack ciphertexts on a leading row axis)
+        split = lambda x: (
+            (x[0][..., :nq, :], x[1][..., :nq, :]),
+            (x[0][..., nq:, :], x[1][..., nq:, :]),
+        )
         bx = ctx.basis_q_p
         p0 = bx.mod_down_split_pq(*split(p0))
         p1 = bx.mod_down_split_pq(*split(p1))

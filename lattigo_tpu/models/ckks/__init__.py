@@ -10,7 +10,7 @@ from lattigo_tpu.models.ckks.context import CKKSContext, get_context
 from lattigo_tpu.models.ckks.elements import Ciphertext, Plaintext
 from lattigo_tpu.models.ckks.encoder import Encoder
 from lattigo_tpu.models.ckks.encryptor import Decryptor, Encryptor
-from lattigo_tpu.models.ckks.evaluator import Evaluator
+from lattigo_tpu.models.ckks.evaluator import Evaluator, JitEvaluator
 from lattigo_tpu.models.ckks.keygen import (
     EvaluationKey,
     KeyGenerator,
@@ -46,6 +46,7 @@ __all__ = [
     "Encryptor",
     "EvaluationKey",
     "Evaluator",
+    "JitEvaluator",
     "KeyGenerator",
     "Parameters",
     "Plaintext",

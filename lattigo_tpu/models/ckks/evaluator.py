@@ -12,6 +12,8 @@ rest.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,7 +26,7 @@ from lattigo_tpu.models.ckks.elements import (
 )
 from lattigo_tpu.ops import galois, modred, number_theory as nt, scaling
 from lattigo_tpu.ops import u64 as u
-from lattigo_tpu.tjit import table
+from lattigo_tpu.tjit import table, tjit
 
 U64 = u.U64
 
@@ -432,3 +434,39 @@ class Evaluator:
             c0 = rq.add(galois.permute_ntt(ct.value[0], gal_el), p0)
             out[k] = Ciphertext([c0, p1], ct.scale)
         return out
+
+
+class JitEvaluator(Evaluator):
+    """Per-op compiled evaluator: every primitive runs as its own tjit'd
+    program, trace-cached per (level, scale, shape) signature and with all
+    twiddle/key tables threaded as device arguments.
+
+    This is the TPU answer to the reference's interpreter-style evaluator
+    (ckks/evaluator.go): a deep circuit (e.g. a degree-31 Chebyshev,
+    examples/ckks/examples_ckks.go:22) re-uses one compiled program per op
+    signature instead of tracing the whole circuit into one monolithic
+    XLA program — compile time grows with the number of DISTINCT
+    (op, level, scale) combinations, not with circuit size.
+    """
+
+    _JIT_OPS = (
+        "add", "sub", "neg", "reduce", "add_const", "mult_by_const",
+        "mult_by_const_and_add", "scale_up", "mul_by_pow2", "rescale",
+        "rescale_many", "mul_relin", "relinearize", "switch_keys",
+        "rotate_columns", "conjugate",
+    )
+
+    def __init__(self, params):
+        super().__init__(params)
+        self._jops: dict = {}
+
+    def __getattribute__(self, name):
+        if name in JitEvaluator._JIT_OPS:
+            jops = object.__getattribute__(self, "_jops")
+            fn = jops.get(name)
+            if fn is None:
+                base = getattr(Evaluator, name)
+                fn = tjit(functools.partial(base, self))
+                jops[name] = fn
+            return fn
+        return object.__getattribute__(self, name)

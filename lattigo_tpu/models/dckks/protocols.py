@@ -20,7 +20,7 @@ from lattigo_tpu.models.ckks.keygen import (
     RotationKeys,
     SwitchingKey,
 )
-from lattigo_tpu.ops import galois, samplers
+from lattigo_tpu.ops import basis_ext, galois, samplers
 from lattigo_tpu.ops import u64 as u
 
 U64 = u.U64
@@ -389,9 +389,49 @@ class RefreshProtocol(_Protocol):
         rq = self.ctx.ring_q
         return rq.add(s1[0], s2[0]), rq.add(s1[1], s2[1])
 
+    def _recode_params(self, lvl: int):
+        """Cached ModUpParams for the centered Q[:lvl+1] -> Q[lvl+1:]
+        re-expansion of finalize."""
+        if not hasattr(self, "_cache"):
+            self._cache = {}
+        key = ("recode", lvl)
+        if key not in self._cache:
+            rq = self.ctx.ring_q
+            self._cache[key] = basis_ext.ModUpParams(
+                rq.moduli[: lvl + 1], rq.moduli[lvl + 1 :]
+            )
+        return self._cache[key]
+
     def finalize(self, ct: ckks.Ciphertext, crs: U64, combined) -> ckks.Ciphertext:
-        """Decrypt -> Recode (CRT re-expand at max level) -> Recrypt
-        (dckks/public_refresh.go:102-151)."""
+        """Decrypt -> Recode (centered CRT re-expand at max level) -> Recrypt
+        (dckks/public_refresh.go:102-151).
+
+        The reference centers through host big.Int; here the centered lift
+        runs as one device basis extension (mod_up(centered=True)): limbs
+        <= lvl keep their residues unchanged (Q_lvl = 0 mod q_i), and the
+        upper limbs receive x - Q_lvl*[x >= Q_lvl/2] mod q_j directly."""
+        ctx = self.ctx
+        rq = ctx.ring_q
+        h0, h1 = combined
+        lvl = ct.level
+        masked = rq.intt(rq.add(ct.value[0], h0))
+        if lvl + 1 < rq.L:
+            upper = basis_ext.mod_up(
+                masked, self._recode_params(lvl), centered=True
+            )
+            full = (
+                jnp.concatenate([masked[0], upper[0]], axis=-2),
+                jnp.concatenate([masked[1], upper[1]], axis=-2),
+            )
+        else:
+            full = masked
+        c0 = rq.add(rq.ntt(full), h1)
+        return ckks.Ciphertext([c0, crs], ct.scale)
+
+    def finalize_bigint(self, ct: ckks.Ciphertext, crs: U64, combined) -> ckks.Ciphertext:
+        """Host big-int twin of finalize (the reference's exact path,
+        dckks/public_refresh.go:102-151) — kept as the test oracle for the
+        device recode."""
         ctx = self.ctx
         rq = ctx.ring_q
         h0, h1 = combined

@@ -52,14 +52,17 @@ class ModUpParams:
         qispj = [
             [nt.mform((big_q // q) % p, p) for p in self.dst] for q in self.src
         ]
-        # correction: (-Q) mod pj, Montgomery form wrt pj
+        # correction: (-Q) mod pj, Montgomery form wrt pj (+ plain, for the
+        # centered-lift conditional subtraction)
         negq = [nt.mform((-big_q) % p, p) for p in self.dst]
+        negq_plain = [(-big_q) % p for p in self.dst]
 
         self.qib_mont_ = _pairs(qib, (ls, 1))
         self.m_lo_ = _pairs(m_lo, (ls, 1))
         self.m_hi_ = _pairs(m_hi, (ls, 1))
         self.qispj_mont_host = qispj
         self.negq_mont_ = _pairs(negq, (ld, 1))
+        self.negq_plain_host = negq_plain
 
         self.sq_ = _pairs(self.src, (ls, 1))
         self.sqinv_ = _pairs([nt.mred_params(q) for q in self.src], (ls, 1))
@@ -68,11 +71,26 @@ class ModUpParams:
         self.dp_u0_ = _pairs([nt.bred_params(p)[0] for p in self.dst], (ld, 1))
 
 
-def mod_up(x: U64, mp: ModUpParams, dst_sel: tuple[int, ...] | None = None) -> U64:
+def mod_up(
+    x: U64,
+    mp: ModUpParams,
+    dst_sel: tuple[int, ...] | None = None,
+    centered: bool = False,
+) -> U64:
     """Exact base conversion of ``x`` ([..., ls, N], basis src) to
     [..., len(dst_sel), N] in basis dst (ring/ring_basis_extension.go:352-393).
 
     ``dst_sel`` selects which destination limbs to produce (default: all).
+
+    ``centered=True`` lifts the *centered* representative instead: the
+    integer x - Q*[x >= Q/2] in (-Q/2, Q/2] re-expressed mod each p_j.  The
+    comparison rides on the same 58-bit fixed-point accumulator as the
+    overflow count v — its fractional part IS x/Q (sum y_i/q_i = v + x/Q),
+    so bit F-1 decides the half.  This replaces the reference's host big-int
+    centering (dckks/public_refresh.go:102-151) with one device pass; like
+    the v floor itself it is exact except for x within ~2^-58*Q of Q/2,
+    where the smudging mask makes the input uniform (probability ~2^-45
+    per coefficient vs the reference's own float64-path window of 2^-52).
     """
     ls = x[0].shape[-2]
     assert ls == len(mp.src), (ls, len(mp.src))
@@ -122,7 +140,17 @@ def mod_up(x: U64, mp: ModUpParams, dst_sel: tuple[int, ...] | None = None) -> U
             pending = 1
     # correction term v * (-Q) mod p_j
     corr = modred.mred(v, negq, dp, dpinv)
-    return modred.bred_add(u.add64(acc, corr), dp, dp_u0)
+    out = modred.bred_add(u.add64(acc, corr), dp, dp_u0)
+    if centered:
+        # x >= Q/2 <=> fractional bit F-1 of the slack-adjusted accumulator
+        half = u.shr64(u.add64(vacc, u.const64(2 * ls + 1)), _V_FRAC_BITS - 1)
+        pred = (half[0] & 1).astype(bool)
+        negq_plain = _pairs(
+            [mp.negq_plain_host[j] for j in sel], (len(sel), 1)
+        )
+        shifted = modred.cred(u.add64(out, negq_plain), dp)
+        out = u.select64(pred, shifted, out)
+    return out
 
 
 class FastBasisExtender:

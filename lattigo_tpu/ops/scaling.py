@@ -160,11 +160,13 @@ class SimpleScaler:
         self.m_lo_ = _pairs(m_lo, (L, 1))
         self.m_hi_ = _pairs(m_hi, (L, 1))
         if not self.t_pow2:
+            # host pairs, NOT jnp constants: scalers are built lazily and may
+            # be constructed inside a trace — caching tracers would leak
             tb = nt.bred_params(t)
-            self.t_ = u.const64(t, (1, 1))
-            self.t_u0_ = u.const64(tb[0], (1, 1))
-            self.t_u1_ = u.const64(tb[1], (1, 1))
-            self.tinv_ = u.const64(nt.mred_params(t), (1, 1))
+            self.t_ = _pairs([t], (1, 1))
+            self.t_u0_ = _pairs([tb[0]], (1, 1))
+            self.t_u1_ = _pairs([tb[1]], (1, 1))
+            self.tinv_ = _pairs([nt.mred_params(t)], (1, 1))
 
     def _mul_mod_t(self, a: U64, b: U64) -> U64:
         if self.t_pow2:

@@ -320,3 +320,140 @@ def ckks_parameters_from_bytes(data: bytes):
         qi=tuple(vals[:n_qi]),
         pi=tuple(vals[n_qi:]),
     )
+
+
+# -- reference-format protocol share codecs ---------------------------------
+#
+# Byte-identical to the reference's per-share MarshalBinary wire formats.
+# The kind-tagged share_to_bytes/share_from_bytes above predate these and
+# remain only for old checkpoints; new code and the golden tests use the
+# reference formats below.
+
+ROTATION_RIGHT, ROTATION_LEFT, ROTATION_ROW = 1, 2, 3  # bfv/keygen.go:42-44
+
+
+def _stacked_polys(share):
+    """[beta, L, N] pair -> iterator of [L, N] pairs."""
+    for i in range(np.asarray(share[0]).shape[0]):
+        yield (share[0][i], share[1][i])
+
+
+def _stack_pairs(polys):
+    import jax.numpy as jnp
+
+    return (
+        jnp.stack([p[0] for p in polys]),
+        jnp.stack([p[1] for p in polys]),
+    )
+
+
+def ckg_share_to_bytes(share) -> bytes:
+    """CKGShare = bare poly (dbfv/publickey_gen.go:21-27)."""
+    return poly_to_bytes(share)
+
+
+def ckg_share_from_bytes(data: bytes):
+    return poly_from_bytes(data)[0]
+
+
+def cks_share_to_bytes(share) -> bytes:
+    """CKSShare = bare poly (dbfv/keyswitching.go:20-33)."""
+    return poly_to_bytes(share)
+
+
+def cks_share_from_bytes(data: bytes):
+    return poly_from_bytes(data)[0]
+
+
+def pcks_share_to_bytes(share) -> bytes:
+    """PCKSShare = two polys, no header (dbfv/public_keyswitching.go:30-48)."""
+    return poly_to_bytes(share[0]) + poly_to_bytes(share[1])
+
+
+def pcks_share_from_bytes(data: bytes):
+    p0, inc = poly_from_bytes(data)
+    p1, _ = poly_from_bytes(data[inc:])
+    return p0, p1
+
+
+def rkg_round1_share_to_bytes(share) -> bytes:
+    """[beta u8] + beta polys (dbfv/relinkey_gen.go:28-43)."""
+    out = bytes([np.asarray(share[0]).shape[0]])
+    for p in _stacked_polys(share):
+        out += poly_to_bytes(p)
+    return out
+
+
+def rkg_round1_share_from_bytes(data: bytes):
+    beta = data[0]
+    ptr = 1
+    polys = []
+    for _ in range(beta):
+        p, inc = poly_from_bytes(data[ptr:])
+        polys.append(p)
+        ptr += inc
+    return _stack_pairs(polys)
+
+
+rkg_round3_share_to_bytes = rkg_round1_share_to_bytes
+rkg_round3_share_from_bytes = rkg_round1_share_from_bytes
+
+
+def rkg_round2_share_to_bytes(share) -> bytes:
+    """[beta u8] + beta x (poly0, poly1) (dbfv/relinkey_gen.go:69-95)."""
+    s0, s1 = share
+    out = bytes([np.asarray(s0[0]).shape[0]])
+    for p0, p1 in zip(_stacked_polys(s0), _stacked_polys(s1)):
+        out += poly_to_bytes(p0) + poly_to_bytes(p1)
+    return out
+
+
+def rkg_round2_share_from_bytes(data: bytes):
+    beta = data[0]
+    ptr = 1
+    a, b = [], []
+    for _ in range(beta):
+        p0, inc = poly_from_bytes(data[ptr:])
+        ptr += inc
+        p1, inc = poly_from_bytes(data[ptr:])
+        ptr += inc
+        a.append(p0)
+        b.append(p1)
+    return _stack_pairs(a), _stack_pairs(b)
+
+
+def rtg_share_to_bytes(k: int, rot_type: int, share) -> bytes:
+    """[K u64][Type u64][lenRing u64] + beta polys
+    (dbfv/rotkey_gen.go:29-46)."""
+    polys = [poly_to_bytes(p) for p in _stacked_polys(share)]
+    out = struct.pack(">QQQ", k, rot_type, len(polys[0]))
+    return out + b"".join(polys)
+
+
+def rtg_share_from_bytes(data: bytes):
+    """Returns (k, rot_type, stacked share)."""
+    k, rot_type, len_ring = struct.unpack(">QQQ", data[:24])
+    n_polys = (len(data) - 24) // len_ring
+    ptr = 24
+    polys = []
+    for _ in range(n_polys):
+        p, inc = poly_from_bytes(data[ptr:])
+        assert inc == len_ring
+        polys.append(p)
+        ptr += inc
+    return int(k), int(rot_type), _stack_pairs(polys)
+
+
+def refresh_share_to_bytes(share) -> bytes:
+    """[lenDecrypt u64][lenRecrypt u64] + decrypt poly + recrypt poly
+    (dbfv/public_refresh.go:32-54; dckks identically)."""
+    d = poly_to_bytes(share[0])
+    r = poly_to_bytes(share[1])
+    return struct.pack(">QQ", len(d), len(r)) + d + r
+
+
+def refresh_share_from_bytes(data: bytes):
+    len_d, len_r = struct.unpack(">QQ", data[:16])
+    d, _ = poly_from_bytes(data[16 : 16 + len_d])
+    r, _ = poly_from_bytes(data[16 + len_d : 16 + len_d + len_r])
+    return d, r

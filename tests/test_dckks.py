@@ -226,3 +226,30 @@ def test_rkg_naive(parties, crp_gen, tools):
     assert_precision(
         tools["enc"].decode(tools["dec"].decrypt(prod)), v0 * v1, 9
     )
+
+
+def test_refresh_device_recode_matches_bigint(parties, crp_gen):
+    """finalize's centered device basis-extension recode equals the
+    reference-exact host big-int path bit for bit."""
+    import jax
+    import numpy as np
+
+    from lattigo_tpu.ops import samplers
+
+    sks, pk = parties
+    refresh = dckks.RefreshProtocol(PARAMS)
+    ctx = ckks.get_context(PARAMS)
+    er = ckks.Encryptor(PARAMS, pk=pk)
+    enc = ckks.Encoder(PARAMS)
+    dec = ckks.Decryptor(PARAMS, sks[0])
+    rng = np.random.default_rng(21)
+    v = rng.uniform(-1, 1, PARAMS.slots).astype(np.complex128)
+    ct = ckks.Evaluator(PARAMS).drop_level(er.encrypt(enc.encode(v)), 1)
+    crs = samplers.uniform_poly(jax.random.key(123), ctx.ring_q)
+    with refresh.using_key(jax.random.key(7)):
+        s = refresh.gen_shares(sks[0].sk, 1, ct, crs)
+    a = refresh.finalize(ct, crs, s)
+    b = refresh.finalize_bigint(ct, crs, s)
+    for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    assert a.level == ctx.ring_q.L - 1
