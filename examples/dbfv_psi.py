@@ -2,7 +2,12 @@
 (examples/dbfv/psi/psi.go): CKG -> encrypt binary set vectors -> slot-wise
 AND (multiplication chain) -> PCKS to an output key -> decrypt.
 
-Run: python examples/dbfv_psi.py [n_parties]
+Run: python examples/dbfv_psi.py [n_parties] [log_n]
+Defaults: 3 parties at the reference's PN13-class N=8192 (psi.go's
+reference scale); backend is whatever jax selects (TPU when available) —
+LATTIGO_EXAMPLES_BACKEND=cpu forces the CPU fallback, where the AND chain
+runs eagerly (XLA's CPU backend compiles the fused keyswitch graph
+pathologically slowly).
 """
 
 import sys
@@ -14,22 +19,25 @@ import os
 
 import jax
 
-# eager example pipelines belong on CPU; set LATTIGO_EXAMPLES_BACKEND to
-# override (the axon TPU tunnel is jit-only territory)
-if os.environ.get("LATTIGO_EXAMPLES_BACKEND", "cpu") == "cpu":
+if os.environ.get("LATTIGO_EXAMPLES_BACKEND", "") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
+from lattigo_tpu import tjit
 from lattigo_tpu.models import bfv, dbfv
 from lattigo_tpu.utils.prng import CRPGenerator
 
 
-def main(n_parties: int = 3):
-    params = bfv.Parameters(
-        log_n=8, t=65537, log_qi=(46, 46), log_pi=(47,), log_qi_mul=(60, 60)
-    ).gen_from_log_moduli()
+def main(n_parties: int = 3, log_n: int = 13):
+    if log_n >= 13:
+        params = bfv.default_params(bfv.PN13QP218)
+    else:
+        params = bfv.Parameters(
+            log_n=log_n, t=65537, log_qi=(46, 46), log_pi=(47,), log_qi_mul=(60, 60)
+        ).gen_from_log_moduli()
     ctx = bfv.get_context(params)
+    print(f"[setup]   N={params.n}, backend={jax.default_backend()}")
 
     def fold(proto, shares):
         acc = shares[0]
@@ -61,11 +69,20 @@ def main(n_parties: int = 3):
     encryptor = bfv.Encryptor(params, pk=pk)
     cts = [encryptor.encrypt(enc.encode_uint(s)) for s in sets]
 
-    # slot-wise AND = product of all binary vectors
+    # slot-wise AND = product of all binary vectors, one compiled program
     ev = bfv.Evaluator(params)
-    acc = cts[0]
-    for ct in cts[1:]:
-        acc = ev.relinearize(ev.mul(acc, ct), rlk)
+
+    def and_chain(first, rest, rk):
+        acc = first
+        for ct in rest:
+            acc = ev.relinearize(ev.mul(acc, ct), rk)
+        return acc
+
+    if jax.default_backend() == "cpu":
+        acc = and_chain(cts[0], cts[1:], rlk)
+    else:
+        acc = tjit.tjit(and_chain)(cts[0], cts[1:], rlk)
+    jax.block_until_ready(acc.value[0][0])
     print(f"[AND]     {n_parties} sets intersected, {time.time()-t0:.1f}s")
 
     # PCKS to a fresh output key
@@ -87,4 +104,6 @@ def main(n_parties: int = 3):
 
 
 if __name__ == "__main__":
-    assert main(int(sys.argv[1]) if len(sys.argv) > 1 else 3)
+    n_parties = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    log_n = int(sys.argv[2]) if len(sys.argv) > 2 else 13
+    assert main(n_parties, log_n)

@@ -236,10 +236,9 @@ def test_refresh_device_recode_matches_bigint(parties, crp_gen):
 
     from lattigo_tpu.ops import samplers
 
-    sks, pk = parties
+    ctx, sks, sk_col = parties
     refresh = dckks.RefreshProtocol(PARAMS)
-    ctx = ckks.get_context(PARAMS)
-    er = ckks.Encryptor(PARAMS, pk=pk)
+    er = ckks.Encryptor(PARAMS, sk=sks[0])
     enc = ckks.Encoder(PARAMS)
     dec = ckks.Decryptor(PARAMS, sks[0])
     rng = np.random.default_rng(21)
