@@ -19,9 +19,12 @@ benchmark families on their default parameter sets —
 All timed regions are ``tjit`` programs: precomputed tables and keys ride
 in as device ARGUMENTS (lattigo_tpu/tjit.py), not trace-baked constants —
 this is what lets PN14/PN15 compile within the remote-compile request
-limit.  Timing loops chain outputs into inputs (z <- f(z)) or use distinct
-inputs so XLA cannot elide repeated executions, and a device digest is
-fetched after the loop.
+limit.  Timing discipline (measured, PERF_NOTES.md): the runtime executes
+LAZILY — block_until_ready does not force execution, unobserved results
+may never run, and repeated (program, buffers) pairs return cached
+results.  Every timed call therefore (a) reads back an on-device scalar
+digest, and (b) uses inputs no prior execution has seen (in-jit fori
+chains, or rolled content-distinct variants, one per call).
 
 Budget discipline: a global deadline (BENCH_BUDGET seconds, default 1500)
 is checked before each config; keygen runs OUTSIDE the per-config guard;
@@ -90,24 +93,75 @@ def guarded(seconds):
     return deco
 
 
-def chain_time(fn, z0, calls, label, fixed=()):
-    """Time ``z <- fn(z, *fixed)`` chained so every call has fresh data.
-
-    Returns (seconds per call, compile seconds).  fn must map its first
-    argument's pytree onto itself.
-    """
+def _force(out) -> int:
+    """Reduce a result pytree to one scalar ON DEVICE and read it back —
+    the only reliable execution fence on this runtime: block_until_ready
+    does not force lazy executions, unobserved results may never run, and
+    repeated (program, buffers) pairs return cached results."""
     import jax
+    import jax.numpy as jnp
 
+    leaves = jax.tree_util.tree_leaves(out)
+    d = jax.jit(lambda a: jnp.sum(a, dtype=jnp.uint32))(leaves[0])
+    return int(d)
+
+
+def digest_time(fn, z0, chain, calls, label, fixed=()):
+    """One tjit program: fori_loop of ``chain`` applications of fn plus a
+    scalar digest, called ``calls`` times with the digest read back each
+    call (z chains across calls, so no two executions share inputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lattigo_tpu import tjit as T
+
+    def chained(z, *fx):
+        out = jax.lax.fori_loop(0, chain, lambda _, a: fn(a, *fx), z)
+        leaves = jax.tree_util.tree_leaves(out)
+        d = jnp.sum(leaves[0], dtype=jnp.uint32) ^ jnp.sum(
+            leaves[-1], dtype=jnp.uint32
+        )
+        return out, d
+
+    cf = T.tjit(chained)
     t0 = time.time()
-    z = fn(z0, *fixed)
-    jax.block_until_ready(jax.tree_util.tree_leaves(z)[0])
+    z, d = cf(z0, *fixed)
+    _ = int(d)
     compile_s = time.time() - t0
     print(f"{label}: compiled+first in {compile_s:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
-    for _ in range(calls):
-        z = fn(z, *fixed)
-    jax.block_until_ready(jax.tree_util.tree_leaves(z)[0])
-    return (time.time() - t0) / calls, compile_s
+    for _i in range(calls):
+        z, d = cf(z, *fixed)
+        _ = int(d)
+    return (time.time() - t0) / (chain * calls), compile_s
+
+
+def variant_time(fn, variants, label=None):
+    """Digest-forced timing over ALL-DISTINCT argument tuples (one timed
+    call per variant; repeats of any (program, buffers) pair would be
+    served from the runtime cache)."""
+    t0 = time.time()
+    _force(fn(*variants[0]))
+    compile_s = time.time() - t0
+    if label:
+        print(f"{label}: compiled+first in {compile_s:.1f}s",
+              file=sys.stderr, flush=True)
+    t0 = time.time()
+    for v in variants[1:]:
+        _force(fn(*v))
+    return (time.time() - t0) / (len(variants) - 1), compile_s
+
+
+def rolled_ct_variants(ct, n):
+    """n distinct same-signature ciphertext variants via jitted coefficient
+    rolls (cost-identical, content-distinct — cache-busting)."""
+    import jax
+    import jax.numpy as jnp
+
+    roller = jax.jit(
+        lambda c, k: jax.tree_util.tree_map(lambda a: jnp.roll(a, k, axis=-1), c)
+    )
+    return [roller(ct, jnp.int32(i)) for i in range(n)]
 
 
 # --------------------------------------------------------------------------
@@ -134,6 +188,7 @@ def bench_ntt_headline():
 
     ntt_j = T.tjit(ring.ntt)
     intt_j = T.tjit(ring.intt)
+    del T  # digest_time builds its own tjit programs
 
     # hardware bit-exactness, forward AND inverse, vs the reference schedule.
     # NOTE: no eager device ops here — eager slicing through the axon tunnel
@@ -152,7 +207,7 @@ def bench_ntt_headline():
     print("bit-exactness (fwd vs reference schedule, inv roundtrip) passed on device",
           file=sys.stderr, flush=True)
 
-    per_call, compile_s = chain_time(ntt_j, X, calls=40, label="ntt")
+    per_call, compile_s = digest_time(ring.ntt, X, chain=50, calls=6, label="ntt")
     rate = B * len(moduli) / per_call
     return {"metric": "ntt_per_sec_n8192_60bit", "value": round(rate, 1),
             "unit": "NTT/s/chip", "vs_baseline": round(rate / 1e6, 4),
@@ -177,11 +232,10 @@ def bench_ntt_single_ct():
     X = u.from_u64(x)
     X = (jax.device_put(X[0]), jax.device_put(X[1]))
 
-    ntt_j = T.tjit(ring.ntt)
-
     @guarded(150)
     def run():
-        per, compile_s = chain_time(ntt_j, X, calls=100, label="ntt single-ct")
+        per, compile_s = digest_time(ring.ntt, X, chain=50, calls=4,
+                                     label="ntt single-ct")
         emit("ntt_single_ct_n8192_60bit", len(moduli) / per, "NTT/s/chip",
              note="batch=1 [L,N] tile-kernel path", compile_s=round(compile_s, 1))
 
@@ -213,12 +267,11 @@ def bench_bfv_mul_relin():
     pt = enc.encode_uint(rng.integers(0, params.t, params.n, dtype=np.uint64))
     ct = encryptor.encrypt(pt)
 
-    step = T.tjit(lambda c, k: ev.relinearize(ev.mul(c, c), k))
-
     @guarded(420)
     def run():
-        per, compile_s = chain_time(step, ct, calls=20,
-                                    label="bfv mul+relin PN13", fixed=(rlk,))
+        per, compile_s = digest_time(
+            lambda c, k: ev.relinearize(ev.mul(c, c), k), ct, chain=4,
+            calls=4, label="bfv mul+relin PN13", fixed=(rlk,))
         emit("bfv_mul_relin_pn13qp218", 1.0 / per, "op/s/chip",
              params="PN13QP218", anchor="bfv/bfv_benchmark_test.go:11",
              compile_s=round(compile_s, 1))
@@ -249,12 +302,8 @@ def bench_ckks_mul_rescale_rotate():
     ev = ckks.Evaluator(params)
 
     rng = np.random.default_rng(2)
-    # distinct same-signature inputs (one trace, un-elidable executions)
-    cts = [
-        encryptor.encrypt(enc.encode(
-            rng.uniform(-1, 1, params.slots).astype(np.complex128)))
-        for _ in range(3)
-    ]
+    ct = encryptor.encrypt(enc.encode(
+        rng.uniform(-1, 1, params.slots).astype(np.complex128)))
 
     pipeline = T.tjit(
         lambda c, k, r: ev.rotate_hoisted(ev.rescale(ev.mul_relin(c, c, k)), [1], r)[1]
@@ -262,18 +311,12 @@ def bench_ckks_mul_rescale_rotate():
 
     @guarded(600)
     def run():
-        t0 = time.time()
-        out = pipeline(cts[0], rlk, rot)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-        compile_s = time.time() - t0
-        print(f"ckks pipeline: compiled+first in {compile_s:.1f}s",
-              file=sys.stderr, flush=True)
-        calls = 12
-        t0 = time.time()
-        for i in range(calls):
-            out = pipeline(cts[i % len(cts)], rlk, rot)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-        per = (time.time() - t0) / calls
+        # 13 content-distinct, cost-identical inputs (rolled copies):
+        # digest-forced, no (program, buffers) repeats
+        cts = rolled_ct_variants(ct, 13)
+        per, compile_s = variant_time(
+            lambda c: pipeline(c, rlk, rot), [(c,) for c in cts],
+            label="ckks pipeline")
         emit("ckks_mul_rescale_pn14qp438", 1.0 / per, "mul+rescale+hrot/s/chip",
              params="PN14QP438", anchor="ckks/ckks_benchmarks_test.go:8",
              pipeline_ms=round(per * 1e3, 2), compile_s=round(compile_s, 1))
@@ -322,28 +365,23 @@ def _cheby_body(name):
 
     cheby = ckks.approximate(lambda x: complex(1 / (1 + math.exp(-x.real)), 0), -8, 8, 31)
     rng = np.random.default_rng(3)
-    cts = [
-        encryptor.encrypt(enc.encode(
-            rng.uniform(-8, 8, params.slots).astype(np.complex128)))
-        for _ in range(2)
-    ]
+    ct = encryptor.encrypt(enc.encode(
+        rng.uniform(-8, 8, params.slots).astype(np.complex128)))
+    cts = rolled_ct_variants(ct, 4)
 
     def pipeline(c):
         return ckks.evaluate_cheby_fast(ev, c, cheby, rlk)
 
     t0 = time.time()
-    out = pipeline(cts[0])
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    _force(pipeline(cts[0]))
     compile_s = time.time() - t0
     traces = sum(f.trace_count() for f in ev._jops.values())
     print(f"cheby31: compiled+first in {compile_s:.1f}s ({traces} op traces)",
           file=sys.stderr, flush=True)
-    calls = 4
     t0 = time.time()
-    for i in range(calls):
-        out = pipeline(cts[i % len(cts)])
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-    per = (time.time() - t0) / calls
+    for c in cts[1:]:
+        _force(pipeline(c))
+    per = (time.time() - t0) / (len(cts) - 1)
     emit(f"ckks_cheby31_{name.lower()}", 1.0 / per, "eval/s/chip",
          params=f"{name} deg=31", slots_per_sec=round(params.slots / per, 1),
          op_traces=traces, anchor="examples/ckks/examples_ckks.go:22",
@@ -392,48 +430,48 @@ def bench_threshold_steady():
     pt = enc.encode_uint(rng.integers(0, params.t, params.n, dtype=np.uint64))
     ct = encryptor.encrypt(pt)
 
-    # rotate whole argument tuples across warm calls: repeated
-    # byte-identical executions get cached by the runtime and would report
-    # the dispatch floor instead of compute
-    def timed(label, fn, variants, reps=6):
-        out = fn(*variants[0])
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-        t0 = time.time()
-        for i in range(reps):
-            out = fn(*variants[i % len(variants)])
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-        per = (time.time() - t0) / reps
+    # digest-forced timing over ALL-DISTINCT argument tuples (the runtime
+    # caches repeated (program, buffers) executions and does not execute
+    # unobserved results at all)
+    def timed(label, fn, variants):
+        per, _ = variant_time(fn, variants)
         emit(f"dbfv_{label}_pn12qp109", per * 1e6, "us/op",
              anchor="dbfv/dbfv_benchmark_test.go:9")
-        return out
 
-    k1, k2, k3 = jax.random.split(jax.random.key(77), 3)
+    REPS = 5
+    kr = list(jax.random.split(jax.random.key(77), REPS + 2))
+
+    def rolled(share, n=REPS):
+        import jax.numpy as jnp
+        roller = jax.jit(lambda s, k: jax.tree_util.tree_map(
+            lambda a: jnp.roll(a, k, axis=-1), s))
+        return [roller(share, jnp.int32(i)) for i in range(n)]
 
     @guarded(500)
     def run():
         ckg = dbfv.CKGProtocol(params)
         gen = _keyed(ckg, ckg.gen_share)
-        s = gen(k1, sk0.sk, crp)
-        s2 = gen(k2, sk0.sk, crp)
-        timed("ckg_gen", gen, [(k1, sk0.sk, crp), (k2, sk0.sk, crp), (k3, sk0.sk, crp)])
-        agg = _keyed(ckg, ckg.aggregate)
-        timed("ckg_agg", agg, [(k1, s, s2), (k1, s2, s)])
+        timed("ckg_gen", gen, [(k, sk0.sk, crp) for k in kr])
+        s = gen(kr[0], sk0.sk, crp)
+        sv = rolled(s, REPS + 1)
+        timed("ckg_agg", _keyed(ckg, ckg.aggregate),
+              [(kr[0], v, s) for v in sv])
 
         cks = dbfv.CKSProtocol(params)
         gen = _keyed(cks, cks.gen_share)
-        s = gen(k1, sk0.sk, sk1.sk, ct)
-        s2 = gen(k2, sk0.sk, sk1.sk, ct)
-        timed("cks_gen", gen, [(k1, sk0.sk, sk1.sk, ct), (k2, sk0.sk, sk1.sk, ct)])
-        timed("cks_agg", _keyed(cks, cks.aggregate), [(k1, s, s2), (k1, s2, s)])
-        timed("cks_finalize", _keyed(cks, cks.key_switch), [(k1, s, ct), (k1, s2, ct)])
+        timed("cks_gen", gen, [(k, sk0.sk, sk1.sk, ct) for k in kr])
+        s = gen(kr[0], sk0.sk, sk1.sk, ct)
+        sv = rolled(s, REPS + 1)
+        timed("cks_agg", _keyed(cks, cks.aggregate), [(kr[0], v, s) for v in sv])
+        timed("cks_finalize", _keyed(cks, cks.key_switch), [(kr[0], v, ct) for v in sv])
 
         pcks = dbfv.PCKSProtocol(params)
         gen = _keyed(pcks, pcks.gen_share)
-        s = gen(k1, sk0.sk, pk1, ct)
-        s2 = gen(k2, sk0.sk, pk1, ct)
-        timed("pcks_gen", gen, [(k1, sk0.sk, pk1, ct), (k2, sk0.sk, pk1, ct)])
-        timed("pcks_agg", _keyed(pcks, pcks.aggregate), [(k1, s, s2), (k1, s2, s)])
-        timed("pcks_finalize", _keyed(pcks, pcks.key_switch), [(k1, s, ct), (k1, s2, ct)])
+        timed("pcks_gen", gen, [(k, sk0.sk, pk1, ct) for k in kr])
+        s = gen(kr[0], sk0.sk, pk1, ct)
+        sv = rolled(s, REPS + 1)
+        timed("pcks_agg", _keyed(pcks, pcks.aggregate), [(kr[0], v, s) for v in sv])
+        timed("pcks_finalize", _keyed(pcks, pcks.key_switch), [(kr[0], v, ct) for v in sv])
 
         import jax.numpy as jnp
 
@@ -443,33 +481,34 @@ def bench_threshold_steady():
         crps = [crpg.clock_poly() for _ in range(params.beta)]
         crp_b = (jnp.stack([p[0] for p in crps]), jnp.stack([p[1] for p in crps]))
         g1 = _keyed(rkg, rkg.gen_share_round_one)
-        r1 = g1(k1, u_eph, sk0.sk, crp_b)
-        timed("rkg_round1_gen", g1, [(k1, u_eph, sk0.sk, crp_b), (k2, u_eph, sk0.sk, crp_b)])
+        timed("rkg_round1_gen", g1, [(k, u_eph, sk0.sk, crp_b) for k in kr])
+        r1 = g1(kr[0], u_eph, sk0.sk, crp_b)
         g2 = _keyed(rkg, rkg.gen_share_round_two)
-        r2 = g2(k1, r1, sk0.sk, crp_b)
-        timed("rkg_round2_gen", g2, [(k1, r1, sk0.sk, crp_b), (k2, r1, sk0.sk, crp_b)])
+        timed("rkg_round2_gen", g2, [(k, r1, sk0.sk, crp_b) for k in kr])
+        r2 = g2(kr[0], r1, sk0.sk, crp_b)
         g3 = _keyed(rkg, rkg.gen_share_round_three)
-        r3 = g3(k1, r2, u_eph, sk0.sk)
-        timed("rkg_round3_gen", g3, [(k1, r2, u_eph, sk0.sk), (k2, r2, u_eph, sk0.sk)])
-        r3b = g3(k2, r2, u_eph, sk0.sk)
+        timed("rkg_round3_gen", g3, [(k, r2, u_eph, sk0.sk) for k in kr])
+        r3 = g3(kr[0], r2, u_eph, sk0.sk)
+        r3v = rolled(r3, REPS + 1)
         timed("rkg_finalize", _keyed(rkg, rkg.gen_relinearization_key),
-              [(k1, r2, r3), (k1, r2, r3b)])
+              [(kr[0], r2, v) for v in r3v])
 
         rtg = dbfv.RTGProtocol(params)
         gen = _keyed(rtg, lambda sk, c: rtg.gen_share("left", 1, sk, c))
-        s = gen(k1, sk0.sk, crp_b)
-        s2 = gen(k2, sk0.sk, crp_b)
-        timed("rtg_gen", gen, [(k1, sk0.sk, crp_b), (k2, sk0.sk, crp_b)])
-        timed("rtg_agg", _keyed(rtg, rtg.aggregate), [(k1, s, s2), (k1, s2, s)])
+        timed("rtg_gen", gen, [(k, sk0.sk, crp_b) for k in kr])
+        s = gen(kr[0], sk0.sk, crp_b)
+        sv = rolled(s, REPS + 1)
+        timed("rtg_agg", _keyed(rtg, rtg.aggregate), [(kr[0], v, s) for v in sv])
 
         refresh = dbfv.RefreshProtocol(params)
         gen = _keyed(refresh, refresh.gen_share)
-        s = gen(k1, sk0.sk, ct, crp)
-        s2 = gen(k2, sk0.sk, ct, crp)
-        timed("refresh_gen", gen, [(k1, sk0.sk, ct, crp), (k2, sk0.sk, ct, crp)])
-        timed("refresh_agg", _keyed(refresh, refresh.aggregate), [(k1, s, s2), (k1, s2, s)])
+        timed("refresh_gen", gen, [(k, sk0.sk, ct, crp) for k in kr])
+        s = gen(kr[0], sk0.sk, ct, crp)
+        sv = rolled(s, REPS + 1)
+        timed("refresh_agg", _keyed(refresh, refresh.aggregate),
+              [(kr[0], v, s) for v in sv])
         timed("refresh_finalize", _keyed(refresh, refresh.finalize),
-              [(k1, ct, crp, s), (k1, ct, crp, s2)])
+              [(kr[0], ct, crp, v) for v in sv])
 
     run.__name__ = "threshold_steady"
     run()
@@ -524,7 +563,7 @@ def bench_threshold_8party():
 
         t0 = time.time()
         out = one_round(100)
-        _jax.block_until_ready(out.value[0])
+        _force(out.value[0])
         compile_s = time.time() - t0
         print(f"threshold: first round (incl. compiles) in {compile_s:.1f}s",
               file=sys.stderr, flush=True)
@@ -532,7 +571,7 @@ def bench_threshold_8party():
         t0 = time.time()
         for i in range(calls):
             out = one_round(200 + 10 * i)
-            _jax.block_until_ready(out.value[0])
+            _force(out.value[0])
         per = (time.time() - t0) / calls
         emit("dbfv_8party_ckg_pcks_refresh_pn12qp109", per * 1e3, "ms/pipeline",
              parties=8, anchor="dbfv/dbfv_benchmark_test.go:9",
@@ -569,32 +608,30 @@ def bench_per_op_table():
     pt = enc.encode_uint(m)
     ct = encryptor.encrypt(pt)
 
-    def timed(label, fn, *args, reps=20):
-        out = fn(*args)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-        t0 = time.time()
-        for _ in range(reps):
-            out = fn(*args)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-        per = (time.time() - t0) / reps
+    def timed(label, fn, variants):
+        per, _ = variant_time(fn, variants)
         emit(f"bfv_{label}_pn12qp109", per * 1e6, "us/op",
              anchor="bfv/bfv_benchmark_test.go:11")
 
     encrypt_j = T.tjit(lambda p: encryptor.encrypt(p))
     decrypt_j = T.tjit(lambda c: dec.decrypt(c))
-    add_j = T.tjit(lambda c: ev.add(c, c))
-    mul_j = T.tjit(lambda c: ev.mul(c, c))
-    mulrelin_j = T.tjit(lambda c, k: ev.relinearize(ev.mul(c, c), k))
+    add_j = T.tjit(lambda c, c2: ev.add(c, c2))
+    mul_j = T.tjit(lambda c, c2: ev.mul(c, c2))
+    mulrelin_j = T.tjit(lambda c, c2, k: ev.relinearize(ev.mul(c, c2), k))
     rot_j = T.tjit(lambda c, r: ev.rotate_columns(c, 1, r))
+
+    REPS = 9
+    ctv = rolled_ct_variants(ct, REPS)
+    ptv = rolled_ct_variants(pt, REPS)
 
     @guarded(400)
     def run():
-        timed("encrypt", encrypt_j, pt)
-        timed("decrypt", decrypt_j, ct)
-        timed("add", add_j, ct)
-        timed("mul", mul_j, ct)
-        timed("mul_relin", mulrelin_j, ct, rlk)
-        timed("rotate_cols", rot_j, ct, rot)
+        timed("encrypt", encrypt_j, [(p,) for p in ptv])
+        timed("decrypt", decrypt_j, [(c,) for c in ctv])
+        timed("add", add_j, [(c, ct) for c in ctv])
+        timed("mul", mul_j, [(c, ct) for c in ctv])
+        timed("mul_relin", mulrelin_j, [(c, ct, rlk) for c in ctv])
+        timed("rotate_cols", rot_j, [(c, rot) for c in ctv])
 
     run.__name__ = "per_op_table"
     run()
