@@ -41,10 +41,10 @@ import time
 
 import numpy as np
 
-# diagnosis hooks: `kill -USR1 <pid>` dumps all thread stacks to stderr,
-# and a watchdog dumps automatically if the process stalls >5 min
+# diagnosis hook: `kill -USR1 <pid>` dumps all thread stacks to stderr.
+# (No dump_traceback_later auto-watchdog: walking the frames of a thread
+# mid-trace segfaulted the interpreter — observed once, dmesg 18043s.)
 faulthandler.register(signal.SIGUSR1, file=sys.stderr)
-faulthandler.dump_traceback_later(300, repeat=True, file=sys.stderr)
 
 RESULTS = []
 T_START = time.time()
@@ -93,17 +93,25 @@ def guarded(seconds):
     return deco
 
 
+_DIGEST_JIT = None
+
+
 def _force(out) -> int:
     """Reduce a result pytree to one scalar ON DEVICE and read it back —
     the only reliable execution fence on this runtime: block_until_ready
     does not force lazy executions, unobserved results may never run, and
-    repeated (program, buffers) pairs return cached results."""
+    repeated (program, buffers) pairs return cached results.
+
+    The digest program is created ONCE: a fresh jax.jit per call costs a
+    ~0.45 s remote compile that would swamp small-op timings."""
     import jax
     import jax.numpy as jnp
 
+    global _DIGEST_JIT
+    if _DIGEST_JIT is None:
+        _DIGEST_JIT = jax.jit(lambda a: jnp.sum(a, dtype=jnp.uint32))
     leaves = jax.tree_util.tree_leaves(out)
-    d = jax.jit(lambda a: jnp.sum(a, dtype=jnp.uint32))(leaves[0])
-    return int(d)
+    return int(_DIGEST_JIT(leaves[0]))
 
 
 def digest_time(fn, z0, chain, calls, label, fixed=()):

@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PHASE_TPU = r"""
 import json, sys, time
 import numpy as np
-import jax
+import jax, jax.numpy as jnp
 from lattigo_tpu import tjit as T
 from lattigo_tpu.models import ckks
 
@@ -46,40 +46,38 @@ enc = ckks.Encoder(params)
 er = ckks.Encryptor(params, pk=pk)
 ev = ckks.Evaluator(params)
 rng = np.random.default_rng(0)
+v = rng.uniform(-1, 1, params.slots).astype(np.complex128)
+ct = er.encrypt(enc.encode(v))
+scale = ct.scale
 
-import jax.numpy as jnp
-def batch_cts(B):
-    polys0, polys1 = [], []
-    ct0 = None
-    for _ in range(B):
-        v = rng.uniform(-1, 1, params.slots).astype(np.complex128)
-        ct = er.encrypt(enc.encode(v))
-        ct0 = ct
-        polys0.append(ct.value[0]); polys1.append(ct.value[1])
-    st = lambda ps: (jnp.stack([p[0] for p in ps]), jnp.stack([p[1] for p in ps]))
-    return st(polys0), st(polys1), ct0.scale
+# Timing discipline (PERF_NOTES.md): the runtime is lazy and caches
+# repeated (program, buffers) executions; every timed call reads back an
+# on-device digest and uses a content-distinct input no execution has seen.
+roller = jax.jit(lambda c, k: jax.tree_util.tree_map(
+    lambda a: jnp.roll(a, k, axis=-1), c))
+digest = jax.jit(lambda a: jnp.sum(a, dtype=jnp.uint32))
+def force(out):
+    return int(digest(jax.tree_util.tree_leaves(out)[0]))
 
+mk_batch = T.tjit(lambda c, B: jax.tree_util.tree_map(
+    lambda a: jnp.stack([jnp.roll(a, i, axis=-1) for i in range(B)]), c))
 step = T.tjit(lambda c0, c1, k, s: ev.mul_relin(
     ckks.Ciphertext([c0, c1], s), ckks.Ciphertext([c0, c1], s), k))
 
 curve = {}
-for B in (1, 2, 4, 8, 16, 32, 64, 128):
-    # distinct rotating inputs: repeated identical executions get cached by
-    # the runtime and report impossible throughputs
-    sets = [batch_cts(B) for _ in range(3)]
-    out = step(sets[0][0], sets[0][1], rlk, sets[0][2])
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-    iters = max(3, 96 // B)
+for B in (1, 4, 16, 64, 128):
+    base = mk_batch(ct.value, B)
+    variants = [roller(base, jnp.int32(1000 + i)) for i in range(7)]
+    force(step(variants[0][0], variants[0][1], rlk, scale))
     t0 = time.time()
-    for i in range(iters):
-        c0, c1, scale = sets[i % 3]
-        out = step(c0, c1, rlk, scale)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-    thr = B * iters / (time.time() - t0)
+    for mv in variants[1:]:
+        force(step(mv[0], mv[1], rlk, scale))
+    thr = B * (len(variants) - 1) / (time.time() - t0)
     curve[str(B)] = round(thr, 2)
     print(f"B={B}: {thr:.1f} mul/s", file=sys.stderr, flush=True)
 print(json.dumps({"tpu_batch_curve_mul_per_s": curve,
-                  "params": "PN12QP109", "device": str(jax.devices()[0])}))
+                  "params": "PN12QP109", "device": str(jax.devices()[0]),
+                  "discipline": "digest-forced, all-distinct rolled inputs"}))
 """
 
 
