@@ -664,14 +664,16 @@ def main():
     # the headline is the single stdout JSON line the driver records
     print(json.dumps(headline), flush=True)
 
+    # cheapest-first so a budget overrun sacrifices the expensive
+    # Chebyshev config, not three cheap ones
     configs = [
         bench_ntt_single_ct,
         bench_bfv_mul_relin,
-        bench_ckks_mul_rescale_rotate,
-        bench_ckks_cheby31,
+        bench_per_op_table,
         bench_threshold_steady,
         bench_threshold_8party,
-        bench_per_op_table,
+        bench_ckks_mul_rescale_rotate,
+        bench_ckks_cheby31,
     ]
     for cfg in configs:
         if remaining() < 60:
