@@ -242,7 +242,9 @@ def bench_ntt_single_ct():
 
     @guarded(150)
     def run():
-        per, compile_s = digest_time(ring.ntt, X, chain=50, calls=4,
+        # chain deep: the tunnel's ~27 ms forced-sync cost per call is an
+        # environment artifact (PERF_NOTES.md), amortized to <2 us/iter here
+        per, compile_s = digest_time(ring.ntt, X, chain=400, calls=2,
                                      label="ntt single-ct")
         emit("ntt_single_ct_n8192_60bit", len(moduli) / per, "NTT/s/chip",
              note="batch=1 [L,N] tile-kernel path", compile_s=round(compile_s, 1))
@@ -277,9 +279,10 @@ def bench_bfv_mul_relin():
 
     @guarded(420)
     def run():
+        # chain=12 amortizes the ~27 ms/call tunnel sync to ~2 ms/op
         per, compile_s = digest_time(
-            lambda c, k: ev.relinearize(ev.mul(c, c), k), ct, chain=4,
-            calls=4, label="bfv mul+relin PN13", fixed=(rlk,))
+            lambda c, k: ev.relinearize(ev.mul(c, c), k), ct, chain=12,
+            calls=2, label="bfv mul+relin PN13", fixed=(rlk,))
         emit("bfv_mul_relin_pn13qp218", 1.0 / per, "op/s/chip",
              params="PN13QP218", anchor="bfv/bfv_benchmark_test.go:11",
              compile_s=round(compile_s, 1))

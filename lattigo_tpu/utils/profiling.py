@@ -32,10 +32,25 @@ class OpProfiler:
     whichever op happens to force the value).
     """
 
+    _digest = None
+
     def __init__(self, evaluator):
         self._ev = evaluator
         self.times = defaultdict(float)
         self.calls = defaultdict(int)
+
+    @classmethod
+    def _force(cls, out):
+        """Digest readback: on lazy runtimes (axon) block_until_ready does
+        not force execution — only observing a value does."""
+        import jax.numpy as jnp
+
+        leaves = jax.tree_util.tree_leaves(out)
+        if not leaves:
+            return
+        if cls._digest is None:
+            cls._digest = jax.jit(lambda a: jnp.sum(a, dtype=jnp.uint32))
+        int(cls._digest(leaves[0]))
 
     def __getattr__(self, name):
         target = getattr(self._ev, name)
@@ -45,9 +60,7 @@ class OpProfiler:
         def wrapped(*args, **kwargs):
             t0 = time.time()
             out = target(*args, **kwargs)
-            leaves = jax.tree_util.tree_leaves(out)
-            if leaves:
-                jax.block_until_ready(leaves[0])
+            OpProfiler._force(out)
             self.times[name] += time.time() - t0
             self.calls[name] += 1
             return out
