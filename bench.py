@@ -323,7 +323,8 @@ def bench_ckks_mul_rescale_rotate():
     @guarded(600)
     def run():
         # 13 content-distinct, cost-identical inputs (rolled copies):
-        # digest-forced, no (program, buffers) repeats
+        # digest-forced, no (program, buffers) repeats.  Single-ct latency
+        # includes the environment's ~27 ms forced-sync floor (PERF_NOTES).
         cts = rolled_ct_variants(ct, 13)
         per, compile_s = variant_time(
             lambda c: pipeline(c, rlk, rot), [(c,) for c in cts],
@@ -331,6 +332,22 @@ def bench_ckks_mul_rescale_rotate():
         emit("ckks_mul_rescale_pn14qp438", 1.0 / per, "mul+rescale+hrot/s/chip",
              params="PN14QP438", anchor="ckks/ckks_benchmarks_test.go:8",
              pipeline_ms=round(per * 1e3, 2), compile_s=round(compile_s, 1))
+
+        # throughput form: the same pipeline on an 8-ct batch (the CKKS
+        # evaluator is batch-polymorphic), sync amortized 8x
+        import jax.numpy as jnp
+
+        B = 8
+        batcher = jax.jit(lambda c, k: jax.tree_util.tree_map(
+            lambda a: jnp.stack([jnp.roll(a, k + i, axis=-1) for i in range(B)]), c))
+        variants = [(batcher(ct, jnp.int32(100 * i)),) for i in range(7)]
+        per_b, compile_b = variant_time(
+            lambda c: pipeline(c, rlk, rot), variants,
+            label="ckks pipeline batch=8")
+        emit("ckks_mul_rescale_pn14qp438_batch8", B / per_b,
+             "mul+rescale+hrot/s/chip", params="PN14QP438 batch=8",
+             anchor="ckks/ckks_benchmarks_test.go:8",
+             per_ct_ms=round(per_b * 1e3 / B, 2), compile_s=round(compile_b, 1))
 
     run.__name__ = "ckks_mul_rescale_rotate"
     run()
