@@ -11,8 +11,9 @@ N = n1 x 128):
 
 with the reference's bit-reversed output order baked into MA's rows
 (k1 = rev(r)) and MB's columns (k2 = rev(c)) so no runtime permutation
-exists, and psi-premultiplication folded into MA / T.  The factorization is
-bit-exact against the reference schedule (perf_lab/proto_fourstep.py).
+exists, and psi-premultiplication folded into MA / T.  Forward is
+sublane-transform-first, inverse lane-first — the twiddle's (k1, j2)
+coupling forces that order (see the derivation in perf_lab/lab15 notes).
 
 Exact 60-bit modular matmuls ride the MXU as int8 digit products:
 
@@ -20,20 +21,31 @@ Exact 60-bit modular matmuls ride the MXU as int8 digit products:
   (M * 2^{8d} mod q) is decomposed into 8 *balanced* s8 digits e, stacked
   into one [(e,r), (d,j1)] (or [(d,j2), (e,c)]) s8 operand — so one
   s8 x s8 -> s32 matmul with contraction over (j, d) produces the 8 output
-  digit planes of the true modular product, with every plane bounded by
-  contraction * 128 * 255 < 2^28 (exact in s32).
-* data: raw unsigned byte digits, shipped as s8 via the (u - 128) offset;
-  the constant -128 * (matrix row/col sums) correction plus a +2^k
-  positivity offset is folded into one broadcast add per matmul.
-* plane recombination (VPU): V = sum_e plane_e 2^{8e} is rebuilt as a u64
-  pair via one Shoup product with 2^40 mod q, multiplied by the mid twiddle
-  T (another Shoup product, lazy [0,2q)), and re-digitized — no exact
-  reduction anywhere except the single final BRedAdd, mirroring the
-  reference's lazy-reduction discipline (ring/ntt.go:32-50).
+  digit planes of the true modular product, every plane < 2^31 (exact s32).
+* data: unsigned byte digits shipped as (u ^ 0x80) - 128 int8; the
+  constant -128 * (matrix row/col sums) correction plus a +2^k positivity
+  offset is folded into one broadcast add per matmul.
+* digitizations are relayout-free: the sublane-side operand is built by
+  astype(i8) packs concatenated on the sublane axis (digit-major matching
+  the matrix layout), the lane-side by lane-axis concatenation — no
+  (batch, lane) merges and no interleaving stacks (the round-3 kernel's
+  Mosaic relayouts, ~2x of its runtime).
+* plane recombination (VPU): V = sum_e plane_e 2^{8e} rebuilt as a u64
+  pair via one Shoup product with 2^40 mod q, multiplied by the mid
+  twiddle T (another Shoup, lazy [0,2q)), and re-digitized — one exact
+  BRedAdd at the very end, mirroring the reference's lazy-reduction
+  discipline (ring/ntt.go:32-50).
 
-Measured on v5e (perf_lab/lab10_mxu_shapes.py): the two matmuls sustain
-183-404 T-MAC/s, putting the MXU work at ~0.35us per NTT-limb; the kernel
-is VPU/HBM bound at roughly 1us, ~3x the butterfly schedule.
+On hardware the per-(limb, block) compute runs inside an explicit
+3-deep manual DMA ring (make_async_copy ping-pong over an ANY-space HBM
+ref): block k+1.. streams in while block j computes and block j-1 drains.
+Measured on the v5e bench chip (perf_lab/lab18, chain=100 digest-forced):
+550k NTT/s at the headline shape (N=8192, 60-bit, B=1024, L=2) vs 255k
+for the 3-pass butterfly kernel — compute-bound in the u64 combine/
+twiddle/reduce glue (MXU time ~0.5 us/limb-NTT of the 1.8 us total).
+
+Tables are tjit-managed device arguments (lattigo_tpu/tjit.py), so
+compiled pipelines receive them as runtime operands, not HLO constants.
 """
 
 from __future__ import annotations
@@ -48,12 +60,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lattigo_tpu.ops import modred
 from lattigo_tpu.ops import u64 as u
+from lattigo_tpu.tjit import content_key, table
 
 U64 = u.U64
 
 _N2 = 128  # lane-axis transform length (fixed: one MXU/VPU lane tile)
 _DIG = 8   # 8-bit digits per 64-bit word
-_MASK = np.uint64(0xFF)
+_XOR = np.uint32(0x80)
 
 
 def supported(n: int) -> bool:
@@ -115,10 +128,10 @@ def _u64_words(v: int) -> tuple[np.uint32, np.uint32]:
 
 
 @functools.lru_cache(maxsize=None)
-def _tables(ring, limbs: tuple[int, ...], inverse: bool):
-    """Per-limb device operands for one direction.
+def _tables_host(ring, limbs: tuple[int, ...], inverse: bool):
+    """Per-limb operands for one direction (host numpy).
 
-    Returns dict of stacked numpy arrays over limbs:
+    Returns dict of stacked arrays over limbs:
       m_rows  [L, DIG*n1, DIG*n1] s8   rows-side matrix (fwd MA / inv MH)
       c_rows  [L, DIG*n1, 1]      s32
       m_lanes [L, DIG*128, DIG*128] s8 lanes-side matrix (fwd MB / inv MG)
@@ -204,108 +217,117 @@ def _tables(ring, limbs: tuple[int, ...], inverse: bool):
                 c_lanes=c_lanes, ttab=ttab, consts=consts)
 
 
+def _tables(ring, limbs: tuple[int, ...], inverse: bool):
+    """tjit-registered tables: device arguments inside tjit programs."""
+    name = f"mxuntt/{ring.key}/{content_key(limbs, inverse)}"
+    return table(name, lambda: _tables_host(ring, limbs, inverse))
+
+
 def _smem_c(ref, k):
     return (jnp.reshape(ref[0, 0, 2 * k], (1, 1)),
             jnp.reshape(ref[0, 0, 2 * k + 1], (1, 1)))
 
 
-def _byte_digits(x: U64) -> list[jnp.ndarray]:
-    """u64 pair -> 8 uint32 byte planes (digit d = bits [8d, 8d+8))."""
-    lo, hi = x
-    out = []
-    for w in (lo, hi):
-        out += [w & 255, (w >> 8) & 255, (w >> 16) & 255, (w >> 24) & 255]
-    return out
+# ---------------------------------------------------------------------------
+# kernel compute (shared by the grid and manual-ring drivers)
+# ---------------------------------------------------------------------------
 
 
-def _as_i8(planes: list[jnp.ndarray], axis: int) -> jnp.ndarray:
-    """Stack u8-valued u32 planes along ``axis`` as (u - 128) int8."""
-    s = jnp.stack(planes, axis=axis)
-    return (s.astype(jnp.int32) - 128).astype(jnp.int8)
+def _digitize_sublane(x3: U64, n1: int) -> jnp.ndarray:
+    """[P, n1, 128] u64-pair -> [P, 8*n1, 128] i8, rows (d-major, j1)."""
+    planes = []
+    for w in x3:  # lo, hi words
+        for e in range(4):
+            planes.append((((w >> (8 * e)) & 255) ^ _XOR).astype(jnp.int8))
+    return jnp.concatenate(planes, axis=1)
 
 
-def _combine_planes(planes: list[jnp.ndarray], consts_ref, q: U64) -> U64:
-    """8 s32 digit planes (cast u32, each < 2^31) -> u64 value
-    sum_e plane_e 2^{8e}, lazily reduced below 2^62 via one Shoup product
-    with 2^40 mod q."""
+def _digitize_lane(x3: U64) -> jnp.ndarray:
+    """[P, n1, 128] u64-pair -> [P, n1, 8*128] i8, cols (d-major, j2)."""
+    planes = []
+    for w in x3:
+        for e in range(4):
+            planes.append((((w >> (8 * e)) & 255) ^ _XOR).astype(jnp.int8))
+    return jnp.concatenate(planes, axis=2)
+
+
+def _combine3(planes, consts_ref, q) -> U64:
+    """8 s32 [P, n1, 128] digit planes -> u64 pair sum_e plane_e 2^{8e},
+    lazily reduced below 2^62 via one Shoup product with 2^40 mod q."""
     pl_u = [p.astype(jnp.uint32) for p in planes]
-    lo_v: U64 = (pl_u[0], jnp.zeros_like(pl_u[0]))
+    z = jnp.zeros_like(pl_u[0])
+    lo_v: U64 = (pl_u[0], z)
     for e in range(1, 5):
-        lo_v = u.add64(lo_v, u.shl64((pl_u[e], jnp.zeros_like(pl_u[e])), 8 * e))
-    hi_v: U64 = (pl_u[5], jnp.zeros_like(pl_u[5]))
+        lo_v = u.add64(lo_v, u.shl64((pl_u[e], z), 8 * e))
+    hi_v: U64 = (pl_u[5], z)
     for e in range(6, 8):
-        hi_v = u.add64(hi_v, u.shl64((pl_u[e], jnp.zeros_like(pl_u[e])), 8 * (e - 5)))
+        hi_v = u.add64(hi_v, u.shl64((pl_u[e], z), 8 * (e - 5)))
     c40 = _smem_c(consts_ref, 1)
     c40s = _smem_c(consts_ref, 2)
     return u.add64(lo_v, modred.mul_shoup(hi_v, c40, c40s, q))
 
 
-def _kernel(n1, inverse, consts_ref, xl, xh, m_rows, c_rows, ttab, m_lanes,
-            c_lanes, ol, oh):
+def _compute_block(n1, P, inverse, consts_ref, m_rows, c_rows, ttab, m_lanes,
+                   c_lanes, x: U64) -> U64:
+    """One [P, n1, 128] block through the full four-step transform."""
     q = _smem_c(consts_ref, 0)
-    P = xl.shape[0]
-    x = (xl[:, 0], xh[:, 0])  # [P, n1, 128]
 
-    def rows_matmul(data: U64):
-        """contract (d, j) over rows: [DIG*n1, DIG*n1] @ [DIG*n1, P*128]."""
-        t = (jnp.transpose(data[0], (1, 0, 2)), jnp.transpose(data[1], (1, 0, 2)))
-        planes = _byte_digits(t)  # 8 x [n1, P, 128]
-        d1 = _as_i8(planes, axis=0).reshape(_DIG * n1, P * _N2)
-        o = jax.lax.dot_general(m_rows[0], d1, (((1,), (0,)), ((), ())),
+    def rows_mm(data3):
+        # matrix-on-left, contraction (d, j1) on sublanes, one dot per poly
+        d = _digitize_sublane(data3, n1)
+        outs = []
+        for p in range(P):
+            o = jax.lax.dot_general(m_rows[0], d[p], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            outs.append(o + c_rows[0])
+        st = jnp.stack(outs, axis=0)  # [P, 8*n1, 128]
+        return [st[:, e * n1:(e + 1) * n1, :] for e in range(_DIG)]
+
+    def lanes_mm(data3):
+        # data-on-left, contraction (d, j2) on lanes
+        d = _digitize_lane(data3).reshape(P * n1, _DIG * _N2)
+        o = jax.lax.dot_general(d, m_lanes[0], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        o = o + c_rows[0]
-        return [o[e * n1:(e + 1) * n1] for e in range(_DIG)]  # [n1, P*128] each
+        o = (o + c_lanes[0]).reshape(P, n1, _DIG * _N2)
+        return [o[:, :, e * _N2:(e + 1) * _N2] for e in range(_DIG)]
 
-    def lanes_matmul(data: U64):
-        """contract (d, j) over lanes: [P*n1, DIG*128] @ [DIG*128, DIG*128]."""
-        planes = _byte_digits(data)  # 8 x [P, n1, 128]
-        d2 = _as_i8(planes, axis=2).reshape(P * n1, _DIG * _N2)
-        o = jax.lax.dot_general(d2, m_lanes[0], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-        o = o + c_lanes[0]
-        return [o[:, e * _N2:(e + 1) * _N2] for e in range(_DIG)]  # [P*n1, 128]
+    def twiddle(v):
+        tw = (ttab[0, 0][None], ttab[0, 1][None])
+        tsh = (ttab[0, 2][None], ttab[0, 3][None])
+        tco = (ttab[0, 4][None], ttab[0, 5][None])
+        return u.add64(modred.mul_shoup(v, tw, tsh, q), tco)
 
-    def twiddle(v: U64, shape3) -> U64:
-        # broadcast the [n1, 128] twiddle planes over the poly axis of
-        # [n1, P, 128] (forward) or [P, n1, 128] (inverse)
-        vv = (v[0].reshape(shape3), v[1].reshape(shape3))
-        sl = (slice(None), None) if shape3[0] == n1 else (None,)
-        tw = (ttab[0, 0][sl], ttab[0, 1][sl])
-        tsh = (ttab[0, 2][sl], ttab[0, 3][sl])
-        tco = (ttab[0, 4][sl], ttab[0, 5][sl])
-        return u.add64(modred.mul_shoup(vv, tw, tsh, q), tco)
-
-    def finalize(planes) -> U64:
-        v = _combine_planes(planes, consts_ref, q)
+    def finalize(planes):
+        v = _combine3(planes, consts_ref, q)
         cf = _smem_c(consts_ref, 3)
         u0 = _smem_c(consts_ref, 4)
         return modred.bred_add(u.add64(v, cf), q, u0)
 
     if not inverse:
-        mid = rows_matmul(x)  # 8 planes [n1, P*128]
-        v = _combine_planes(mid, consts_ref, q)
-        y = twiddle(v, (n1, P, _N2))  # [n1, P, 128]
-        y = (jnp.transpose(y[0], (1, 0, 2)), jnp.transpose(y[1], (1, 0, 2)))
-        fin = lanes_matmul(y)  # 8 planes [P*n1, 128]
-        out = finalize(fin)
-        ol[:, 0] = out[0].reshape(P, n1, _N2)
-        oh[:, 0] = out[1].reshape(P, n1, _N2)
-    else:
-        mid = lanes_matmul(x)  # 8 planes [P*n1, 128]
-        v = _combine_planes(mid, consts_ref, q)
-        y = twiddle(v, (P, n1, _N2))  # [P, n1, 128]
-        fin = rows_matmul(y)  # 8 planes [n1, P*128]
-        out = finalize(fin)
-        lo = jnp.transpose(out[0].reshape(n1, P, _N2), (1, 0, 2))
-        hi = jnp.transpose(out[1].reshape(n1, P, _N2), (1, 0, 2))
-        ol[:, 0] = lo
-        oh[:, 0] = hi
+        mid = rows_mm(x)
+        y = twiddle(_combine3(mid, consts_ref, q))
+        return finalize(lanes_mm(y))
+    mid = lanes_mm(x)
+    y = twiddle(_combine3(mid, consts_ref, q))
+    return finalize(rows_mm(y))
+
+
+# ---------------------------------------------------------------------------
+# driver 1: auto-pipelined grid (interpret mode / CPU correctness twin)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_grid(n1, P, inverse, consts_ref, xl, xh, m_rows, c_rows, ttab,
+                 m_lanes, c_lanes, ol, oh):
+    out = _compute_block(n1, P, inverse, consts_ref, m_rows, c_rows, ttab,
+                         m_lanes, c_lanes, (xl[:, 0], xh[:, 0]))
+    ol[:, 0] = out[0]
+    oh[:, 0] = out[1]
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(n1, n_limbs, n_blocks, P, inverse, interpret):
-    kernel = functools.partial(_kernel, n1, inverse)
-    grid = (n_limbs, n_blocks)
+def _build_call_grid(n1, n_limbs, n_blocks, P, inverse, interpret):
+    kernel = functools.partial(_kernel_grid, n1, P, inverse)
     vm = pltpu.VMEM
     dn1 = _DIG * n1
     dn2 = _DIG * _N2
@@ -314,7 +336,7 @@ def _build_call(n1, n_limbs, n_blocks, P, inverse, interpret):
     blk = lambda l, b: (b, l, 0, 0)
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(n_limbs, n_blocks),
         in_specs=[
             pl.BlockSpec((1, 1, 16), lambda l, b: (l, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((P, 1, n1, _N2), blk, memory_space=vm),
@@ -333,15 +355,116 @@ def _build_call(n1, n_limbs, n_blocks, P, inverse, interpret):
             jax.ShapeDtypeStruct((P * n_blocks, n_limbs, n1, _N2), jnp.uint32),
             jax.ShapeDtypeStruct((P * n_blocks, n_limbs, n1, _N2), jnp.uint32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
 
 
+# ---------------------------------------------------------------------------
+# driver 2: manual async-DMA ring (hardware path)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_ring(n1, P, nb, depth, inverse, consts_ref, m_rows, c_rows, ttab,
+                 m_lanes, c_lanes, xl, xh, ol, oh, bil, bih, bol, boh, sin,
+                 sout):
+    l = pl.program_id(0)
+
+    def in_copy(b, slot, w):
+        src, dst = (xl, bil) if w == 0 else (xh, bih)
+        return pltpu.make_async_copy(
+            src.at[pl.ds(b * P, P), l], dst.at[slot], sin.at[slot, w])
+
+    def out_copy(b, slot, w):
+        src, dst = (bol, ol) if w == 0 else (boh, oh)
+        return pltpu.make_async_copy(
+            src.at[slot], dst.at[pl.ds(b * P, P), l], sout.at[slot, w])
+
+    def body(k, _):
+        slot = jax.lax.rem(k, depth)
+
+        @pl.when(k < nb)
+        def _fetch():
+            in_copy(k, slot, 0).start()
+            in_copy(k, slot, 1).start()
+
+        j = k - (depth - 1)
+
+        @pl.when(jnp.logical_and(j >= 0, j < nb))
+        def _work():
+            slot_j = jax.lax.rem(j, depth)
+            in_copy(j, slot_j, 0).wait()
+            in_copy(j, slot_j, 1).wait()
+            out = _compute_block(n1, P, inverse, consts_ref, m_rows, c_rows,
+                                 ttab, m_lanes, c_lanes, (bil[slot_j], bih[slot_j]))
+
+            @pl.when(j >= depth)
+            def _wout():
+                out_copy(j - depth, slot_j, 0).wait()
+                out_copy(j - depth, slot_j, 1).wait()
+
+            bol[slot_j] = out[0]
+            boh[slot_j] = out[1]
+            out_copy(j, slot_j, 0).start()
+            out_copy(j, slot_j, 1).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, nb + depth - 1, body, 0)
+
+    def drain(j, _):
+        slot_j = jax.lax.rem(j, depth)
+        out_copy(j, slot_j, 0).wait()
+        out_copy(j, slot_j, 1).wait()
+        return 0
+
+    jax.lax.fori_loop(max(0, nb - depth), nb, drain, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_ring(n1, n_limbs, nb, P, depth, inverse):
+    kernel = functools.partial(_kernel_ring, n1, P, nb, depth, inverse)
+    vm = pltpu.VMEM
+    dn1 = _DIG * n1
+    dn2 = _DIG * _N2
+    limb = lambda l: (l, 0, 0)
+    limb4 = lambda l: (l, 0, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_limbs,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 16), lambda l: (l, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, dn1, dn1), limb, memory_space=vm),
+            pl.BlockSpec((1, dn1, 1), limb, memory_space=vm),
+            pl.BlockSpec((1, 6, n1, _N2), limb4, memory_space=vm),
+            pl.BlockSpec((1, dn2, dn2), limb, memory_space=vm),
+            pl.BlockSpec((1, 1, dn2), limb, memory_space=vm),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P * nb, n_limbs, n1, _N2), jnp.uint32),
+            jax.ShapeDtypeStruct((P * nb, n_limbs, n1, _N2), jnp.uint32),
+        ],
+        scratch_shapes=[
+            vm((depth, P, n1, _N2), jnp.uint32),
+            vm((depth, P, n1, _N2), jnp.uint32),
+            vm((depth, P, n1, _N2), jnp.uint32),
+            vm((depth, P, n1, _N2), jnp.uint32),
+            pltpu.SemaphoreType.DMA((depth, 2)),
+            pltpu.SemaphoreType.DMA((depth, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+    )
+
+
 def ntt_mxu(ring, x: U64, limbs: tuple[int, ...], inverse: bool = False,
-            interpret: bool = False, block_polys: int = 8) -> U64:
+            interpret: bool = False, block_polys: int = 16,
+            depth: int = 3) -> U64:
     """Four-step MXU NTT/InvNTT over the carried limbs; bit-exact vs the
     reference schedule, accepts lazily reduced inputs (any value < 2^62)."""
     if not supported(ring.n):
@@ -365,9 +488,14 @@ def ntt_mxu(ring, x: U64, limbs: tuple[int, ...], inverse: bool = False,
                 [a, jnp.zeros((pad, L, n1, _N2), dtype=a.dtype)], axis=0)
         return a
 
-    call = _build_call(n1, L, nb, P, inverse, interpret)
-    olo, ohi = call(t["consts"], shape_in(lo), shape_in(hi), t["m_rows"],
-                    t["c_rows"], t["ttab"], t["m_lanes"], t["c_lanes"])
+    if interpret:
+        call = _build_call_grid(n1, L, nb, P, inverse, True)
+        olo, ohi = call(t["consts"], shape_in(lo), shape_in(hi), t["m_rows"],
+                        t["c_rows"], t["ttab"], t["m_lanes"], t["c_lanes"])
+    else:
+        call = _build_call_ring(n1, L, nb, P, depth, inverse)
+        olo, ohi = call(t["consts"], t["m_rows"], t["c_rows"], t["ttab"],
+                        t["m_lanes"], t["c_lanes"], shape_in(lo), shape_in(hi))
     olo = olo[:B].reshape(*batch, L, n)
     ohi = ohi[:B].reshape(*batch, L, n)
     return olo, ohi

@@ -38,6 +38,12 @@ U64 = u.U64
 # backend (interpret mode off-TPU) so CI exercises the production paths.
 FORCE_PALLAS = False
 FORCE_TILE = False
+FORCE_MXU = False
+
+# Batch (polys) at or above which the MXU four-step kernel beats the tile
+# butterfly kernel (measured crossover, perf_lab/lab18: 18 vs ~27 us/limb
+# at B=4; 2x at B>=16).
+_MXU_MIN_BATCH = 4
 
 
 def _tbl(vals, shape=None) -> U64:
@@ -189,7 +195,21 @@ class Ring:
         key-switch decomposition).  Inputs may be lazily reduced (< 4q)."""
         if self.n >= self._NTT_FAST_MIN:
             on_tpu = self._on_tpu()
-            if (on_tpu and self._batch_of(x) >= 64) or FORCE_PALLAS:
+            if FORCE_PALLAS:
+                from lattigo_tpu.ops import pallas_ntt
+
+                return pallas_ntt.ntt_pallas_passes(
+                    self, x, limbs, lanes=128, min_rows=1024,
+                    interpret=not on_tpu,
+                )
+            from lattigo_tpu.ops import mxu_ntt
+
+            if ((on_tpu or FORCE_MXU) and mxu_ntt.supported(self.n)
+                    and self._batch_of(x) >= _MXU_MIN_BATCH):
+                # headline path: exact int8 four-step on the MXU
+                # (2.2x the 3-pass butterfly kernel at the bench shape)
+                return mxu_ntt.ntt_mxu(self, x, limbs, interpret=not on_tpu)
+            if on_tpu and self._batch_of(x) >= 64:
                 from lattigo_tpu.ops import pallas_ntt
 
                 return pallas_ntt.ntt_pallas_passes(
@@ -257,7 +277,20 @@ class Ring:
         """Inverse NTT with explicit limb-table indices."""
         if self.n >= self._NTT_FAST_MIN:
             on_tpu = self._on_tpu()
-            if (on_tpu and self._batch_of(x) >= 64) or FORCE_PALLAS:
+            if FORCE_PALLAS:
+                from lattigo_tpu.ops import pallas_ntt
+
+                return pallas_ntt.ntt_pallas_passes(
+                    self, x, limbs, inverse=True, lanes=128, min_rows=1024,
+                    interpret=not on_tpu,
+                )
+            from lattigo_tpu.ops import mxu_ntt
+
+            if ((on_tpu or FORCE_MXU) and mxu_ntt.supported(self.n)
+                    and self._batch_of(x) >= _MXU_MIN_BATCH):
+                return mxu_ntt.ntt_mxu(
+                    self, x, limbs, inverse=True, interpret=not on_tpu)
+            if on_tpu and self._batch_of(x) >= 64:
                 from lattigo_tpu.ops import pallas_ntt
 
                 return pallas_ntt.ntt_pallas_passes(

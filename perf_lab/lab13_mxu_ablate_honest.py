@@ -1,0 +1,164 @@
+"""Honest chained ablation of the MXU four-step NTT kernel stages.
+
+lab11 measured with block_until_ready on repeated buffers (cache-tainted).
+Here every mode runs as an in-jit fori chain with a loop-counter perturb
+(so no two iterations are byte-identical) and a digest readback per call.
+
+Modes (N=8192, L=2, B=256, P=16):
+  io        copy in->out only (pallas call + HBM floor)
+  digit1    digitize+stack rows-side only
+  mm_rows   digitize + rows matmul
+  mm_both   both matmuls, no mid combine/twiddle
+  mid       digitize + combine + twiddle only (no matmuls)
+  notrans   full minus the two transposes (wrong result, cost probe)
+  full      production path
+"""
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import bench
+from lattigo_tpu import tjit as T
+from lattigo_tpu.ops import mxu_ntt, modred, number_theory as nt
+from lattigo_tpu.ops import ring as ring_mod, u64 as u
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+N = 8192; L = 2; B = 256; P = 16
+n1 = 64
+DIG, N2 = 8, 128
+ring = ring_mod.Ring(N, [576460752303439873, 576460752303702017])
+t = mxu_ntt._tables(ring, (0, 1), False)
+rng = np.random.default_rng(7)
+x = rng.integers(0, np.array(ring.moduli, dtype=np.uint64)[None, :, None],
+                 (B, L, N), dtype=np.uint64)
+xlo, xhi = u.from_u64(x.reshape(B, L, n1, 128))
+X = (jax.device_put(xlo), jax.device_put(xhi))
+
+
+def kernel(mode, consts_ref, xl, xh, m_rows, c_rows, ttab, m_lanes, c_lanes, ol, oh):
+    q = mxu_ntt._smem_c(consts_ref, 0)
+    xx = (xl[:, 0], xh[:, 0])
+    if mode == "io":
+        ol[:, 0] = xx[0] + 1; oh[:, 0] = xx[1] + 1; return
+    if mode in ("digit1", "mm_rows", "mm_both", "full", "notrans"):
+        if mode == "notrans":
+            tdat = xx
+        else:
+            tdat = (jnp.transpose(xx[0], (1, 0, 2)), jnp.transpose(xx[1], (1, 0, 2)))
+        planes = mxu_ntt._byte_digits(tdat)
+        d1 = mxu_ntt._as_i8(planes, axis=0).reshape(DIG * n1, P * N2)
+        if mode == "digit1":
+            s = d1.astype(jnp.int32).reshape(DIG, n1, P, N2).sum(axis=0)
+            ol[:, 0] = jnp.transpose(s.astype(jnp.uint32), (1, 0, 2))
+            oh[:, 0] = ol[:, 0]; return
+        o = jax.lax.dot_general(m_rows[0], d1, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        o = o + c_rows[0]
+        mid = [o[e * n1:(e + 1) * n1] for e in range(DIG)]
+        if mode == "mm_rows":
+            s = sum(p.astype(jnp.uint32) for p in mid).reshape(n1, P, N2)
+            ol[:, 0] = jnp.transpose(s, (1, 0, 2)); oh[:, 0] = ol[:, 0]; return
+        if mode == "mm_both":
+            y = (mid[0].astype(jnp.uint32).reshape(n1, P, N2),
+                 mid[1].astype(jnp.uint32).reshape(n1, P, N2))
+        else:
+            v = mxu_ntt._combine_planes(mid, consts_ref, q)
+            vv = (v[0].reshape(n1, P, N2), v[1].reshape(n1, P, N2))
+            tw = (ttab[0, 0][:, None, :], ttab[0, 1][:, None, :])
+            tsh = (ttab[0, 2][:, None, :], ttab[0, 3][:, None, :])
+            tco = (ttab[0, 4][:, None, :], ttab[0, 5][:, None, :])
+            y = u.add64(modred.mul_shoup(vv, tw, tsh, q), tco)
+        if mode == "notrans":
+            yt = y
+        else:
+            yt = (jnp.transpose(y[0], (1, 0, 2)), jnp.transpose(y[1], (1, 0, 2)))
+        planes2 = mxu_ntt._byte_digits(yt)
+        d2 = mxu_ntt._as_i8(planes2, axis=2).reshape(P * n1, DIG * N2)
+        o2 = jax.lax.dot_general(d2, m_lanes[0], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        o2 = o2 + c_lanes[0]
+        fin = [o2[:, e * N2:(e + 1) * N2] for e in range(DIG)]
+        if mode == "mm_both":
+            s = sum(p.astype(jnp.uint32) for p in fin)
+            ol[:, 0] = s.reshape(P, n1, N2); oh[:, 0] = ol[:, 0]; return
+        v = mxu_ntt._combine_planes(fin, consts_ref, q)
+        cf = mxu_ntt._smem_c(consts_ref, 3)
+        u0 = mxu_ntt._smem_c(consts_ref, 4)
+        out = modred.bred_add(u.add64(v, cf), q, u0)
+        ol[:, 0] = out[0].reshape(P, n1, N2)
+        oh[:, 0] = out[1].reshape(P, n1, N2)
+        return
+    if mode == "mid":
+        planes = [xx[0].reshape(n1 * P, N2)] * 8
+        v = mxu_ntt._combine_planes(planes, consts_ref, q)
+        vv = (v[0].reshape(n1, P, N2), v[1].reshape(n1, P, N2))
+        tw = (ttab[0, 0][:, None, :], ttab[0, 1][:, None, :])
+        tsh = (ttab[0, 2][:, None, :], ttab[0, 3][:, None, :])
+        tco = (ttab[0, 4][:, None, :], ttab[0, 5][:, None, :])
+        y = u.add64(modred.mul_shoup(vv, tw, tsh, q), tco)
+        ol[:, 0] = jnp.transpose(y[0], (1, 0, 2))
+        oh[:, 0] = jnp.transpose(y[1], (1, 0, 2))
+        return
+
+
+def build(mode):
+    nb = B // P
+    vm = pltpu.VMEM
+    dn1, dn2 = DIG * n1, DIG * N2
+    limb = lambda l, b: (l, 0, 0)
+    limb4 = lambda l, b: (l, 0, 0, 0)
+    blk = lambda l, b: (b, l, 0, 0)
+    call = pl.pallas_call(
+        functools.partial(kernel, mode),
+        grid=(L, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1, 16), lambda l, b: (l, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((P, 1, n1, N2), blk, memory_space=vm),
+            pl.BlockSpec((P, 1, n1, N2), blk, memory_space=vm),
+            pl.BlockSpec((1, dn1, dn1), limb, memory_space=vm),
+            pl.BlockSpec((1, dn1, 1), limb, memory_space=vm),
+            pl.BlockSpec((1, 6, n1, N2), limb4, memory_space=vm),
+            pl.BlockSpec((1, dn2, dn2), limb, memory_space=vm),
+            pl.BlockSpec((1, 1, dn2), limb, memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((P, 1, n1, N2), blk, memory_space=vm),
+            pl.BlockSpec((P, 1, n1, N2), blk, memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, n1, N2), jnp.uint32),
+            jax.ShapeDtypeStruct((B, L, n1, N2), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+    )
+
+    def step(z):
+        a, b = z
+        o = call(t["consts"], a, b, t["m_rows"], t["c_rows"],
+                 t["ttab"], t["m_lanes"], t["c_lanes"])
+        return o
+
+    return step
+
+
+modes = sys.argv[1:] or ["io", "digit1", "mm_rows", "mid", "mm_both", "notrans", "full"]
+for mode in modes:
+    try:
+        per_call, cs = bench.digest_time(build(mode), X, chain=20, calls=4, label=mode)
+        print(f"{mode:8s}: {per_call*1e6:8.1f} us/call "
+              f"({per_call/(L*B)*1e6:6.2f} us/limb-NTT, {L*B/per_call/1e3:7.1f}k NTT/s)",
+              flush=True)
+    except Exception as e:
+        print(f"{mode:8s}: FAILED {type(e).__name__} {str(e)[:200]}", flush=True)
