@@ -193,6 +193,16 @@ class Ring:
         """Forward NTT of x[..., k, :] under modulus ``limbs[k]`` — used when
         the carried limbs are not the prefix 0..L-1 (rescale correction,
         key-switch decomposition).  Inputs may be lazily reduced (< 4q)."""
+        from lattigo_tpu.parallel import cross_ntt
+
+        act = cross_ntt.active_for(self.n)
+        if act is not None:
+            # scheme-level cross-chip path: a sharded_ntt(mesh, axis)
+            # context routes every transform through the four-step
+            # all-to-all kernel (parallel/cross_ntt.py), serving all
+            # callers like the reference's single NTT (ring/ntt.go:53-86)
+            return cross_ntt.ntt_four_step(
+                self, x, act[0], axis=act[1], limbs=limbs, inverse=False)
         if self.n >= self._NTT_FAST_MIN:
             on_tpu = self._on_tpu()
             if FORCE_PALLAS:
@@ -275,6 +285,16 @@ class Ring:
 
     def intt_limbs(self, x: U64, limbs: tuple[int, ...]) -> U64:
         """Inverse NTT with explicit limb-table indices."""
+        from lattigo_tpu.parallel import cross_ntt
+
+        act = cross_ntt.active_for(self.n)
+        if act is not None:
+            # scheme-level cross-chip path: a sharded_ntt(mesh, axis)
+            # context routes every transform through the four-step
+            # all-to-all kernel (parallel/cross_ntt.py), serving all
+            # callers like the reference's single NTT (ring/ntt.go:53-86)
+            return cross_ntt.ntt_four_step(
+                self, x, act[0], axis=act[1], limbs=limbs, inverse=True)
         if self.n >= self._NTT_FAST_MIN:
             on_tpu = self._on_tpu()
             if FORCE_PALLAS:
