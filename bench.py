@@ -356,6 +356,60 @@ def bench_ckks_mul_rescale_rotate():
 
 
 # --------------------------------------------------------------------------
+# Config #3b — CKKS at PN16QP1761, the reference's largest default set
+# --------------------------------------------------------------------------
+
+
+def bench_ckks_pn16():
+    """encode -> encrypt -> mul+relin -> rescale at PN16QP1761 (N=2^16,
+    ckks/params.go:35-87's largest shipped set) — the config that stresses
+    compile payloads, VMEM and the NTT dispatch at 2^16 (VERDICT r4
+    missing #5).  Precision-asserted before timing."""
+    import jax
+
+    from lattigo_tpu import tjit as T
+    from lattigo_tpu.models import ckks
+
+    params = ckks.default_params(ckks.PN16QP1761)
+    kg = ckks.KeyGenerator(params, rng_key=jax.random.key(3))
+    sk, pk = kg.gen_key_pair_sparse(hw=192)
+    rlk = kg.gen_relin_key(sk)
+    enc = ckks.Encoder(params)
+    er = ckks.Encryptor(params, pk=pk)
+    dec = ckks.Decryptor(params, sk)
+    ev = ckks.Evaluator(params)
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-1, 1, params.slots).astype(np.complex128)
+    ct = er.encrypt(enc.encode(v))
+
+    pipeline = T.tjit(lambda c0, c1, k, s: ev.rescale(ev.mul_relin(
+        ckks.Ciphertext([c0, c1], s), ckks.Ciphertext([c0, c1], s), k)))
+
+    @guarded(800)
+    def run():
+        out = pipeline(ct.value[0], ct.value[1], rlk, ct.scale)
+        _force(out.value[0])
+        # correctness: decode and assert precision vs v*v
+        got = enc.decode(dec.decrypt(out))
+        err = np.abs(got - v * v)
+        bits = float(-np.log2(np.median(err) + 1e-300))
+        assert bits >= 12, f"PN16 precision too low: {bits:.1f} bits"
+        print(f"PN16 mul+relin+rescale precision: {bits:.1f} bits median",
+              file=sys.stderr, flush=True)
+        cts = rolled_ct_variants(ct, 5)
+        per, compile_s = variant_time(
+            lambda c: pipeline(c.value[0], c.value[1], rlk, c.scale),
+            [(c,) for c in cts], label="ckks pn16 mul+relin+rescale")
+        emit("ckks_mul_relin_rescale_pn16qp1761", 1.0 / per, "op/s/chip",
+             params="PN16QP1761", anchor="ckks/params.go:35",
+             op_ms=round(per * 1e3, 1), precision_bits=round(bits, 1),
+             compile_s=round(compile_s, 1))
+
+    run.__name__ = "ckks_pn16"
+    run()
+
+
+# --------------------------------------------------------------------------
 # Config #4 — CKKS degree-31 Chebyshev at PN15QP880 (per-op JitEvaluator)
 # --------------------------------------------------------------------------
 
@@ -438,9 +492,15 @@ def _keyed(proto, method):
 
 def bench_threshold_steady():
     """Per-protocol steady-state timings, PN12QP109 — the shape of
-    dbfv/dbfv_benchmark_test.go:9-17 (Gen/Agg/Finalize per protocol),
-    compile excluded, 5 warm iterations."""
+    dbfv/dbfv_benchmark_test.go:9-17 (Gen/Agg/Finalize per protocol).
+
+    Chain-amortized (VERDICT r4 item 2): each phase runs as an in-jit
+    fori chain (outputs fed back as inputs, or a PRNG key threaded
+    through the carry for randomized Gen phases so sampling cannot be
+    loop-hoisted); the ~27 ms tunnel-sync floor amortizes to
+    ``residual_floor_us`` per row."""
     import jax
+    import jax.numpy as jnp
 
     from lattigo_tpu.models import bfv, dbfv
     from lattigo_tpu.utils.prng import CRPGenerator
@@ -459,153 +519,248 @@ def bench_threshold_steady():
     rng = np.random.default_rng(9)
     pt = enc.encode_uint(rng.integers(0, params.t, params.n, dtype=np.uint64))
     ct = encryptor.encrypt(pt)
+    k0 = jax.random.key_data(jax.random.key(77))
 
-    # digest-forced timing over ALL-DISTINCT argument tuples (the runtime
-    # caches repeated (program, buffers) executions and does not execute
-    # unobserved results at all)
-    def timed(label, fn, variants):
-        per, _ = variant_time(fn, variants)
+    def timed(label, step, z0, chain, fixed=()):
+        per, compile_s = digest_time(step, z0, chain=chain, calls=2,
+                                     fixed=fixed, label=f"dbfv_{label}")
         emit(f"dbfv_{label}_pn12qp109", per * 1e6, "us/op",
-             anchor="dbfv/dbfv_benchmark_test.go:9")
+             anchor="dbfv/dbfv_benchmark_test.go:9", chain=chain,
+             residual_floor_us=round(27000 / chain, 1),
+             compile_s=round(compile_s, 1))
 
-    REPS = 5
-    kr = list(jax.random.split(jax.random.key(77), REPS + 2))
+    def keyed_step(proto, fn):
+        """carry (key_data, out): out = fn() under an evolving proto key —
+        the key dependency forces per-iteration sampling."""
 
-    def rolled(share, n=REPS):
-        import jax.numpy as jnp
-        roller = jax.jit(lambda s, k: jax.tree_util.tree_map(
-            lambda a: jnp.roll(a, k, axis=-1), s))
-        return [roller(share, jnp.int32(i)) for i in range(n)]
+        def step(z, *fx):
+            kdata, _ = z
+            key = jax.random.wrap_key_data(kdata)
+            with proto.using_key(key):
+                out = fn(*fx)
+            return jax.random.key_data(jax.random.fold_in(key, 1)), out
 
-    @guarded(500)
+        return step
+
+    @guarded(1200)
     def run():
         ckg = dbfv.CKGProtocol(params)
-        gen = _keyed(ckg, ckg.gen_share)
-        timed("ckg_gen", gen, [(k, sk0.sk, crp) for k in kr])
-        s = gen(kr[0], sk0.sk, crp)
-        sv = rolled(s, REPS + 1)
-        timed("ckg_agg", _keyed(ckg, ckg.aggregate),
-              [(kr[0], v, s) for v in sv])
+        s_ckg = None
+        with ckg.using_key(jax.random.key(70)):
+            s_ckg = ckg.gen_share(sk0.sk, crp)
+        timed("ckg_gen", keyed_step(ckg, lambda: ckg.gen_share(sk0.sk, crp)),
+              (k0, s_ckg), chain=48)
+        timed("ckg_agg", lambda s, s2: ckg.aggregate(s, s2),
+              s_ckg, chain=256, fixed=(s_ckg,))
 
         cks = dbfv.CKSProtocol(params)
-        gen = _keyed(cks, cks.gen_share)
-        timed("cks_gen", gen, [(k, sk0.sk, sk1.sk, ct) for k in kr])
-        s = gen(kr[0], sk0.sk, sk1.sk, ct)
-        sv = rolled(s, REPS + 1)
-        timed("cks_agg", _keyed(cks, cks.aggregate), [(kr[0], v, s) for v in sv])
-        timed("cks_finalize", _keyed(cks, cks.key_switch), [(kr[0], v, ct) for v in sv])
+        with cks.using_key(jax.random.key(71)):
+            s_cks = cks.gen_share(sk0.sk, sk1.sk, ct)
+        timed("cks_gen",
+              keyed_step(cks, lambda: cks.gen_share(sk0.sk, sk1.sk, ct)),
+              (k0, s_cks), chain=48)
+        timed("cks_agg", lambda s, s2: cks.aggregate(s, s2),
+              s_cks, chain=256, fixed=(s_cks,))
+        timed("cks_finalize", lambda c, sh: cks.key_switch(sh, c),
+              ct, chain=64, fixed=(s_cks,))
 
         pcks = dbfv.PCKSProtocol(params)
-        gen = _keyed(pcks, pcks.gen_share)
-        timed("pcks_gen", gen, [(k, sk0.sk, pk1, ct) for k in kr])
-        s = gen(kr[0], sk0.sk, pk1, ct)
-        sv = rolled(s, REPS + 1)
-        timed("pcks_agg", _keyed(pcks, pcks.aggregate), [(kr[0], v, s) for v in sv])
-        timed("pcks_finalize", _keyed(pcks, pcks.key_switch), [(kr[0], v, ct) for v in sv])
-
-        import jax.numpy as jnp
+        with pcks.using_key(jax.random.key(72)):
+            s_pcks = pcks.gen_share(sk0.sk, pk1, ct)
+        timed("pcks_gen",
+              keyed_step(pcks, lambda: pcks.gen_share(sk0.sk, pk1, ct)),
+              (k0, s_pcks), chain=32)
+        timed("pcks_agg", lambda s, s2: pcks.aggregate(s, s2),
+              s_pcks, chain=256, fixed=(s_pcks,))
+        timed("pcks_finalize", lambda c, sh: pcks.key_switch(sh, c),
+              ct, chain=64, fixed=(s_pcks,))
 
         rkg = dbfv.RKGProtocol(params)
         with rkg.using_key(jax.random.key(78)):
             u_eph = rkg.new_ephemeral_key()
         crps = [crpg.clock_poly() for _ in range(params.beta)]
-        crp_b = (jnp.stack([p[0] for p in crps]), jnp.stack([p[1] for p in crps]))
-        g1 = _keyed(rkg, rkg.gen_share_round_one)
-        timed("rkg_round1_gen", g1, [(k, u_eph, sk0.sk, crp_b) for k in kr])
-        r1 = g1(kr[0], u_eph, sk0.sk, crp_b)
-        g2 = _keyed(rkg, rkg.gen_share_round_two)
-        timed("rkg_round2_gen", g2, [(k, r1, sk0.sk, crp_b) for k in kr])
-        r2 = g2(kr[0], r1, sk0.sk, crp_b)
-        g3 = _keyed(rkg, rkg.gen_share_round_three)
-        timed("rkg_round3_gen", g3, [(k, r2, u_eph, sk0.sk) for k in kr])
-        r3 = g3(kr[0], r2, u_eph, sk0.sk)
-        r3v = rolled(r3, REPS + 1)
-        timed("rkg_finalize", _keyed(rkg, rkg.gen_relinearization_key),
-              [(kr[0], r2, v) for v in r3v])
+        crp_b = (jnp.stack([p[0] for p in crps]),
+                 jnp.stack([p[1] for p in crps]))
+        with rkg.using_key(jax.random.key(73)):
+            r1 = rkg.gen_share_round_one(u_eph, sk0.sk, crp_b)
+            r2 = rkg.gen_share_round_two(r1, sk0.sk, crp_b)
+            r3 = rkg.gen_share_round_three(r2, u_eph, sk0.sk)
+        timed("rkg_round1_gen",
+              keyed_step(rkg, lambda: rkg.gen_share_round_one(
+                  u_eph, sk0.sk, crp_b)), (k0, r1), chain=16)
+        timed("rkg_round2_gen",
+              keyed_step(rkg, lambda: rkg.gen_share_round_two(
+                  r1, sk0.sk, crp_b)), (k0, r2), chain=16)
+        timed("rkg_round3_gen",
+              keyed_step(rkg, lambda: rkg.gen_share_round_three(
+                  r2, u_eph, sk0.sk)), (k0, r3), chain=16)
+
+        def rkgfin_step(r3c, r2c):
+            rlk = rkg.gen_relinearization_key(r2c, r3c)
+            d = jnp.sum(jax.tree_util.tree_leaves(rlk)[0], dtype=jnp.uint32)
+            return jax.tree_util.tree_map(lambda a: a + d, r3c)
+
+        timed("rkg_finalize", rkgfin_step, r3, chain=16, fixed=(r2,))
 
         rtg = dbfv.RTGProtocol(params)
-        gen = _keyed(rtg, lambda sk, c: rtg.gen_share("left", 1, sk, c))
-        timed("rtg_gen", gen, [(k, sk0.sk, crp_b) for k in kr])
-        s = gen(kr[0], sk0.sk, crp_b)
-        sv = rolled(s, REPS + 1)
-        timed("rtg_agg", _keyed(rtg, rtg.aggregate), [(kr[0], v, s) for v in sv])
+        with rtg.using_key(jax.random.key(74)):
+            s_rtg = rtg.gen_share("left", 1, sk0.sk, crp_b)
+        timed("rtg_gen",
+              keyed_step(rtg, lambda: rtg.gen_share("left", 1, sk0.sk, crp_b)),
+              (k0, s_rtg), chain=16)
+        timed("rtg_agg", lambda s, s2: rtg.aggregate(s, s2),
+              s_rtg, chain=128, fixed=(s_rtg,))
 
         refresh = dbfv.RefreshProtocol(params)
-        gen = _keyed(refresh, refresh.gen_share)
-        timed("refresh_gen", gen, [(k, sk0.sk, ct, crp) for k in kr])
-        s = gen(kr[0], sk0.sk, ct, crp)
-        sv = rolled(s, REPS + 1)
-        timed("refresh_agg", _keyed(refresh, refresh.aggregate),
-              [(kr[0], v, s) for v in sv])
-        timed("refresh_finalize", _keyed(refresh, refresh.finalize),
-              [(kr[0], ct, crp, v) for v in sv])
+        with refresh.using_key(jax.random.key(75)):
+            s_ref = refresh.gen_share(sk0.sk, ct, crp)
+        timed("refresh_gen",
+              keyed_step(refresh, lambda: refresh.gen_share(sk0.sk, ct, crp)),
+              (k0, s_ref), chain=32)
+        timed("refresh_agg", lambda s, s2: refresh.aggregate(s, s2),
+              s_ref, chain=256, fixed=(s_ref,))
+        timed("refresh_finalize", lambda c, cr, sh: refresh.finalize(c, cr, sh),
+              ct, chain=32, fixed=(crp, s_ref))
 
     run.__name__ = "threshold_steady"
     run()
 
 
 def bench_threshold_8party():
-    import jax
+    """8-party CKG -> encrypt -> PCKS -> Refresh pipeline, PN12QP109.
 
+    Round-4 ran this EAGERLY (every protocol call a tunnel round trip):
+    80.5 s/pipeline — all dispatch, no compute (VERDICT r4 weak #3).  Now
+    each phase is ONE tjit program with the party fan-out vmapped over a
+    stacked (keys, sks) axis — share generation runs as batch-8 kernels
+    (the MXU NTT path) and aggregation is an in-program fold, mirroring
+    pir.go:352-388's per-phase timing discipline.  Per-phase rows +
+    the full chained pipeline are emitted."""
+    import jax
+    import jax.numpy as jnp
+
+    from lattigo_tpu import tjit as T
     from lattigo_tpu.models import bfv, dbfv
     from lattigo_tpu.utils.prng import CRPGenerator
 
     params = bfv.default_params(bfv.PN12QP109)
     ctx = bfv.get_context(params)
     n_parties = 8
-    kgens = [bfv.KeyGenerator(params, rng_key=jax.random.key(10 + i)) for i in range(n_parties)]
+    kgens = [bfv.KeyGenerator(params, rng_key=jax.random.key(10 + i))
+             for i in range(n_parties)]
     sks = [kg.gen_secret_key() for kg in kgens]
+    sks_stacked = jax.tree_util.tree_map(
+        lambda *a: jnp.stack(a), *[sk.sk for sk in sks])
     crpg = CRPGenerator(b"bench", ctx.ring_qp)
     crpg.seed(b"seed")
     crp = crpg.clock_poly()
+    crs = crpg.clock_poly()
     enc = bfv.Encoder(params)
     rng = np.random.default_rng(5)
     pt = enc.encode_uint(rng.integers(0, params.t, params.n, dtype=np.uint64))
 
-    def fold(proto, shares):
-        acc = shares[0]
-        for s in shares[1:]:
-            acc = proto.aggregate(acc, s)
+    ckg = dbfv.CKGProtocol(params)
+    pcks = dbfv.PCKSProtocol(params)
+    refresh = dbfv.RefreshProtocol(params)
+    target_kg = bfv.KeyGenerator(params, rng_key=jax.random.key(90))
+    sk_out, pk_out = target_kg.gen_key_pair()
+    encryptor = bfv.Encryptor(params, pk=bfv.PublicKey((crp, crp)))  # pk set per call
+
+    def fold8(proto, stacked):
+        acc = jax.tree_util.tree_map(lambda a: a[0], stacked)
+        for i in range(1, n_parties):
+            acc = proto.aggregate(
+                acc, jax.tree_util.tree_map(lambda a, _i=i: a[_i], stacked))
         return acc
 
-    def one_round(seed):
-        ckg = dbfv.CKGProtocol(params, rng_key=jax.random.key(seed))
-        combined = fold(ckg, [ckg.gen_share(sk.sk, crp) for sk in sks])
-        pk = ckg.gen_public_key(combined, crp)
-        encryptor = bfv.Encryptor(params, pk=pk)
-        ct = encryptor.encrypt(pt)
+    def vgen(proto, fn):
+        """vmap share generation over (key, sk): batch-8 kernels."""
 
-        target_kg = bfv.KeyGenerator(params, rng_key=jax.random.key(seed + 1))
-        sk_out, pk_out = target_kg.gen_key_pair()
-        pcks = dbfv.PCKSProtocol(params, rng_key=jax.random.key(seed + 2))
-        comb = fold(pcks, [pcks.gen_share(sk.sk, pk_out, ct) for sk in sks])
-        ct2 = pcks.key_switch(comb, ct)
+        def one(kdata, sk):
+            with proto.using_key(jax.random.wrap_key_data(kdata)):
+                return fn(sk)
 
-        refresh = dbfv.RefreshProtocol(params, rng_key=jax.random.key(seed + 3))
-        crs = crpg.clock_poly()
-        comb_r = fold(refresh, [refresh.gen_share(sk.sk, ct2, crs) for sk in sks])
-        out = refresh.finalize(ct2, crs, comb_r)
-        return out
+        return jax.vmap(one, in_axes=(0, 0))
 
-    @guarded(400)
+    def keys8(key, salt):
+        ks = jax.vmap(lambda i: jax.random.key_data(
+            jax.random.fold_in(jax.random.wrap_key_data(key), salt * 64 + i))
+        )(jnp.arange(n_parties))
+        return ks
+
+    # ---- phase programs (each one tjit) ----
+    def ckg_phase(kdata, sks_st, crp_):
+        shares = vgen(ckg, lambda sk: ckg.gen_share(sk, crp_))(
+            keys8(kdata, 1), sks_st)
+        return ckg.gen_public_key(fold8(ckg, shares), crp_)
+
+    def enc_phase(kdata, pk, pt_):
+        encryptor.pk = pk
+        encryptor._key = jax.random.wrap_key_data(kdata)
+        encryptor._n_used = 0
+        return encryptor.encrypt(pt_)
+
+    def pcks_phase(kdata, sks_st, pk_o, ct_):
+        shares = vgen(pcks, lambda sk: pcks.gen_share(sk, pk_o, ct_))(
+            keys8(kdata, 2), sks_st)
+        return pcks.key_switch(fold8(pcks, shares), ct_)
+
+    def refresh_phase(kdata, sks_st, ct_, crs_):
+        shares = vgen(refresh, lambda sk: refresh.gen_share(sk, ct_, crs_))(
+            keys8(kdata, 3), sks_st)
+        return refresh.finalize(ct_, crs_, fold8(refresh, shares))
+
+    def pipeline(z, sks_st, crp_, crs_, pk_o):
+        kdata, pt_ = z
+        pk = ckg_phase(kdata, sks_st, crp_)
+        ct_ = enc_phase(kdata, pk, pt_)
+        ct2 = pcks_phase(kdata, sks_st, pk_o, ct_)
+        out = refresh_phase(kdata, sks_st, ct2, crs_)
+        k2 = jax.random.key_data(
+            jax.random.fold_in(jax.random.wrap_key_data(kdata), 7))
+        return k2, bfv.Plaintext(out.value[0])
+
+    k0 = jax.random.key_data(jax.random.key(77))
+
+    @guarded(900)
     def run():
-        import jax as _jax
+        # end-to-end pipeline, chained (pt evolves from the refreshed c0)
+        per, compile_s = digest_time(
+            pipeline, (k0, pt), chain=4, calls=3, label="8party pipeline",
+            fixed=(sks_stacked, crp, crs, pk_out))
+        emit("dbfv_8party_ckg_pcks_refresh_pn12qp109", per * 1e3,
+             "ms/pipeline", parties=8,
+             anchor="dbfv/dbfv_benchmark_test.go:9", chain=4,
+             residual_floor_ms=round(27 / 4, 1), compile_s=round(compile_s, 1))
 
-        t0 = time.time()
-        out = one_round(100)
-        _force(out.value[0])
-        compile_s = time.time() - t0
-        print(f"threshold: first round (incl. compiles) in {compile_s:.1f}s",
-              file=sys.stderr, flush=True)
-        calls = 3
-        t0 = time.time()
-        for i in range(calls):
-            out = one_round(200 + 10 * i)
-            _force(out.value[0])
-        per = (time.time() - t0) / calls
-        emit("dbfv_8party_ckg_pcks_refresh_pn12qp109", per * 1e3, "ms/pipeline",
-             parties=8, anchor="dbfv/dbfv_benchmark_test.go:9",
-             compile_s=round(compile_s, 1))
+        # per-phase attribution (pir.go:352-388 discipline)
+        pk_c = T.tjit(ckg_phase)(k0, sks_stacked, crp)
+        ct_c = T.tjit(enc_phase)(k0, pk_c, pt)
+        ct2_c = T.tjit(pcks_phase)(k0, sks_stacked, pk_out, ct_c)
+
+        def phase_step(fn, rewrap):
+            def step(z, *fx):
+                kdata, _ = z
+                out = fn(kdata, *fx)
+                k2 = jax.random.key_data(
+                    jax.random.fold_in(jax.random.wrap_key_data(kdata), 9))
+                return k2, rewrap(out)
+            return step
+
+        for label, fn, carry0, fx, chain in (
+            ("ckg", ckg_phase, pk_c, (sks_stacked, crp), 8),
+            ("encrypt", lambda k, pk, p: enc_phase(k, pk, p), ct_c,
+             (pk_c, pt), 16),
+            ("pcks", pcks_phase, ct2_c, (sks_stacked, pk_out, ct_c), 8),
+            ("refresh", refresh_phase, ct2_c, (sks_stacked, ct_c, crs), 8),
+        ):
+            per_p, comp = digest_time(
+                phase_step(fn, lambda o: o), (k0, carry0), chain=chain,
+                calls=2, label=f"8party phase {label}", fixed=fx)
+            emit(f"dbfv_8party_phase_{label}_pn12qp109", per_p * 1e3,
+                 "ms/phase", parties=8, chain=chain,
+                 residual_floor_ms=round(27 / chain, 1),
+                 compile_s=round(comp, 1))
 
     run.__name__ = "threshold_8party"
     run()
@@ -617,9 +772,15 @@ def bench_threshold_8party():
 
 
 def bench_per_op_table():
+    """Chain-amortized per-op timings (VERDICT r4 item 2): each op runs as
+    an in-jit fori chain feeding its output back into its input (with a
+    shape-preserving rewrap where output type differs), so the ~27 ms
+    tunnel-sync floor amortizes to 27000/chain us — annotated per row as
+    ``residual_floor_us``.  Randomized ops thread an explicit PRNG key
+    through the chain carry so noise generation cannot be loop-hoisted."""
     import jax
+    import jax.numpy as jnp
 
-    from lattigo_tpu import tjit as T
     from lattigo_tpu.models import bfv
 
     params = bfv.default_params(bfv.PN12QP109)
@@ -637,31 +798,45 @@ def bench_per_op_table():
     m = rng.integers(0, params.t, params.n, dtype=np.uint64)
     pt = enc.encode_uint(m)
     ct = encryptor.encrypt(pt)
+    # raw uint32 key data in the chain carry (typed key arrays don't sum
+    # in the digest); rebuilt with wrap_key_data inside the step
+    key0 = jax.random.key_data(jax.random.key(99))
 
-    def timed(label, fn, variants):
-        per, _ = variant_time(fn, variants)
+    def timed(label, step, z0, chain, fixed=()):
+        per, compile_s = digest_time(step, z0, chain=chain, calls=2,
+                                     fixed=fixed, label=f"bfv_{label}")
         emit(f"bfv_{label}_pn12qp109", per * 1e6, "us/op",
-             anchor="bfv/bfv_benchmark_test.go:11")
+             anchor="bfv/bfv_benchmark_test.go:11", chain=chain,
+             residual_floor_us=round(27000 / chain, 1),
+             compile_s=round(compile_s, 1))
 
-    encrypt_j = T.tjit(lambda p: encryptor.encrypt(p))
-    decrypt_j = T.tjit(lambda c: dec.decrypt(c))
-    add_j = T.tjit(lambda c, c2: ev.add(c, c2))
-    mul_j = T.tjit(lambda c, c2: ev.mul(c, c2))
-    mulrelin_j = T.tjit(lambda c, c2, k: ev.relinearize(ev.mul(c, c2), k))
-    rot_j = T.tjit(lambda c, r: ev.rotate_columns(c, 1, r))
+    def enc_step(z):
+        kdata, p = z
+        key = jax.random.wrap_key_data(kdata)
+        encryptor._key, encryptor._n_used = key, 0
+        c = encryptor.encrypt(p)
+        k2 = jax.random.key_data(jax.random.fold_in(key, 1))
+        return k2, bfv.Plaintext(c.value[0])
 
-    REPS = 9
-    ctv = rolled_ct_variants(ct, REPS)
-    ptv = rolled_ct_variants(pt, REPS)
+    def dec_step(c):
+        p = dec.decrypt(c)
+        return bfv.Ciphertext([p.value, c.value[1]])
 
-    @guarded(400)
+    def mul_step(c, c2):
+        out = ev.mul(c, c2)
+        return bfv.Ciphertext(out.value[:2])
+
+    @guarded(900)
     def run():
-        timed("encrypt", encrypt_j, [(p,) for p in ptv])
-        timed("decrypt", decrypt_j, [(c,) for c in ctv])
-        timed("add", add_j, [(c, ct) for c in ctv])
-        timed("mul", mul_j, [(c, ct) for c in ctv])
-        timed("mul_relin", mulrelin_j, [(c, ct, rlk) for c in ctv])
-        timed("rotate_cols", rot_j, [(c, rot) for c in ctv])
+        timed("encrypt", enc_step, (key0, pt), chain=48)
+        timed("decrypt", dec_step, ct, chain=64)
+        timed("add", lambda c, c2: ev.add(c, c2), ct, chain=512, fixed=(ct,))
+        timed("mul", mul_step, ct, chain=32, fixed=(ct,))
+        timed("mul_relin",
+              lambda c, c2, k: ev.relinearize(ev.mul(c, c2), k),
+              ct, chain=24, fixed=(ct, rlk))
+        timed("rotate_cols", lambda c, r: ev.rotate_columns(c, 1, r),
+              ct, chain=32, fixed=(rot,))
 
     run.__name__ = "per_op_table"
     run()
@@ -695,6 +870,7 @@ def main():
         bench_threshold_steady,
         bench_threshold_8party,
         bench_ckks_mul_rescale_rotate,
+        bench_ckks_pn16,
         bench_ckks_cheby31,
     ]
     for cfg in configs:

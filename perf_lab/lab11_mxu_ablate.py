@@ -19,11 +19,44 @@ sys.path.insert(0, "/root/repo")
 from lattigo_tpu.ops import ring as ring_mod, u64 as u, number_theory as nt
 from lattigo_tpu.ops import mxu_ntt, modred
 
+# -- v1-kernel helpers (the production module moved to the v3 choreography;
+#    these labs archive the round-3/4 v1 measurements) --------------------
+import jax.numpy as _jnp
+
+
+def _byte_digits_v1(x):
+    lo, hi = x
+    out = []
+    for w in (lo, hi):
+        out += [w & 255, (w >> 8) & 255, (w >> 16) & 255, (w >> 24) & 255]
+    return out
+
+
+def _as_i8_v1(planes, axis):
+    s = _jnp.stack(planes, axis=axis)
+    return (s.astype(_jnp.int32) - 128).astype(_jnp.int8)
+
+
+def _combine_planes_v1(planes, consts_ref, q):
+    from lattigo_tpu.ops import mxu_ntt as _m, modred as _mr, u64 as _u
+    pl_u = [p.astype(_jnp.uint32) for p in planes]
+    lo_v = (pl_u[0], _jnp.zeros_like(pl_u[0]))
+    for e in range(1, 5):
+        lo_v = _u.add64(lo_v, _u.shl64((pl_u[e], _jnp.zeros_like(pl_u[e])), 8 * e))
+    hi_v = (pl_u[5], _jnp.zeros_like(pl_u[5]))
+    for e in range(6, 8):
+        hi_v = _u.add64(hi_v, _u.shl64((pl_u[e], _jnp.zeros_like(pl_u[e])), 8 * (e - 5)))
+    c40 = _m._smem_c(consts_ref, 1)
+    c40s = _m._smem_c(consts_ref, 2)
+    return _u.add64(lo_v, _mr.mul_shoup(hi_v, c40, c40s, q))
+
+
+
 N = 8192; L = 2; B = 256; P = 8
 n1 = 64
 qs = nt.generate_ntt_primes(60, N.bit_length() - 1, L)
 ring = ring_mod.Ring(N, qs)
-t = mxu_ntt._tables(ring, (0, 1), False)
+t = mxu_ntt._tables_host(ring, (0, 1), False)
 rng = np.random.default_rng(7)
 x = rng.integers(0, np.array(qs, dtype=np.uint64)[None, :, None], (B, L, N), dtype=np.uint64)
 xlo, xhi = u.from_u64(x.reshape(B, L, n1, 128))
@@ -42,8 +75,8 @@ def kernel(mode, consts_ref, xl, xh, m_rows, c_rows, ttab, m_lanes, c_lanes, ol,
             tdat = xx
         else:
             tdat = (jnp.transpose(xx[0], (1, 0, 2)), jnp.transpose(xx[1], (1, 0, 2)))
-        planes = mxu_ntt._byte_digits(tdat)
-        d1 = mxu_ntt._as_i8(planes, axis=0).reshape(DIG * n1, P * N2)
+        planes = _byte_digits_v1(tdat)
+        d1 = _as_i8_v1(planes, axis=0).reshape(DIG * n1, P * N2)
         if mode == "digit1":
             s = d1.astype(jnp.int32).reshape(DIG, n1, P, N2).sum(axis=0)
             ol[:, 0] = jnp.transpose(s.astype(jnp.uint32), (1, 0, 2))
@@ -60,7 +93,7 @@ def kernel(mode, consts_ref, xl, xh, m_rows, c_rows, ttab, m_lanes, c_lanes, ol,
             y = (mid[0].astype(jnp.uint32).reshape(n1, P, N2),
                  mid[1].astype(jnp.uint32).reshape(n1, P, N2))
         else:
-            v = mxu_ntt._combine_planes(mid, consts_ref, q)
+            v = _combine_planes_v1(mid, consts_ref, q)
             vv = (v[0].reshape(n1, P, N2), v[1].reshape(n1, P, N2))
             tw = (ttab[0, 0][:, None, :], ttab[0, 1][:, None, :])
             tsh = (ttab[0, 2][:, None, :], ttab[0, 3][:, None, :])
@@ -70,8 +103,8 @@ def kernel(mode, consts_ref, xl, xh, m_rows, c_rows, ttab, m_lanes, c_lanes, ol,
             yt = y
         else:
             yt = (jnp.transpose(y[0], (1, 0, 2)), jnp.transpose(y[1], (1, 0, 2)))
-        planes2 = mxu_ntt._byte_digits(yt)
-        d2 = mxu_ntt._as_i8(planes2, axis=2).reshape(P * n1, DIG * N2)
+        planes2 = _byte_digits_v1(yt)
+        d2 = _as_i8_v1(planes2, axis=2).reshape(P * n1, DIG * N2)
         o2 = jax.lax.dot_general(d2, m_lanes[0], (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
         o2 = o2 + c_lanes[0]
@@ -79,7 +112,7 @@ def kernel(mode, consts_ref, xl, xh, m_rows, c_rows, ttab, m_lanes, c_lanes, ol,
         if mode == "mm_both":
             s = sum(p.astype(jnp.uint32) for p in fin)
             ol[:, 0] = s.reshape(P, n1, N2); oh[:, 0] = ol[:, 0]; return
-        v = mxu_ntt._combine_planes(fin, consts_ref, q)
+        v = _combine_planes_v1(fin, consts_ref, q)
         cf = mxu_ntt._smem_c(consts_ref, 3)
         u0 = mxu_ntt._smem_c(consts_ref, 4)
         out = modred.bred_add(u.add64(v, cf), q, u0)
@@ -88,7 +121,7 @@ def kernel(mode, consts_ref, xl, xh, m_rows, c_rows, ttab, m_lanes, c_lanes, ol,
         return
     if mode == "mid":
         planes = [xx[0].reshape(n1 * P, N2)] * 8
-        v = mxu_ntt._combine_planes(planes, consts_ref, q)
+        v = _combine_planes_v1(planes, consts_ref, q)
         vv = (v[0].reshape(n1, P, N2), v[1].reshape(n1, P, N2))
         tw = (ttab[0, 0][:, None, :], ttab[0, 1][:, None, :])
         tsh = (ttab[0, 2][:, None, :], ttab[0, 3][:, None, :])
