@@ -67,13 +67,23 @@ class Evaluator:
         return Ciphertext(self._tensor_and_rescale(polys_of(op0), polys_of(op1)))
 
     def _lift(self, polys: list[U64]) -> tuple[list[U64], list[U64]]:
-        """Q -> (NTT_Q, NTT_QMul) per poly (bfv/evaluator.go:298-313)."""
+        """Q -> (NTT_Q, NTT_QMul) per poly (bfv/evaluator.go:298-313).
+
+        The per-poly transforms are independent, so each ring runs ONE
+        batched NTT over a stacked leading axis (instead of len(polys)
+        batch-1 calls) — putting single-ciphertext multiplies onto the
+        batched MXU kernel path (ops/mxu_ntt.py)."""
+        import jax.numpy as jnp
+
         ctx = self.ctx
         bx = ctx.basis_q_qmul
-        qs, ms = [], []
-        for p in polys:
-            qs.append(ctx.ring_q.ntt(p))
-            ms.append(ctx.ring_qmul.ntt(bx.mod_up_qp(p)))
+        stack = lambda ps: (jnp.stack([p[0] for p in ps]),
+                            jnp.stack([p[1] for p in ps]))
+        nq = ctx.ring_q.ntt(stack(polys))
+        nm = ctx.ring_qmul.ntt(stack([bx.mod_up_qp(p) for p in polys]))
+        unstack = lambda st, i: (st[0][i], st[1][i])
+        qs = [unstack(nq, i) for i in range(len(polys))]
+        ms = [unstack(nm, i) for i in range(len(polys))]
         return qs, ms
 
     def _tensor_and_rescale(self, v0: list[U64], v1: list[U64]) -> list[U64]:
@@ -104,51 +114,66 @@ class Evaluator:
 
         # InvNTT, divide by Q, recenter, extend back to Q, multiply by t
         # (bfv/evaluator.go:424-462)
+        import jax.numpy as jnp
+
         bx = ctx.basis_q_qmul
         p_half = rm.modulus_bigint >> 1
         lvl_q = rq.L - 1
-        out = []
-        for k in range(out_deg + 1):
-            cq = rq.intt(accq[k])
-            cm = rm.intt(accm[k])
-            cm = bx.mod_down_split_qp(cq, cm)  # (x - [x]_Q)/Q in QMul
-            cm = rm.add_scalar_bigint(cm, p_half)
-            cq = bx.mod_up_pq(cm, lvl_q)
-            cq = rq.sub_scalar_bigint(cq, p_half)
-            out.append(rq.mul_scalar(cq, ctx.params.t))
-        return out
+        # one batched InvNTT per ring over the stacked output degrees, and
+        # the whole divide-by-Q tail batched the same way (all basis ops
+        # broadcast over leading dims)
+        stack = lambda ps: (jnp.stack([p[0] for p in ps]),
+                            jnp.stack([p[1] for p in ps]))
+        cq = rq.intt(stack([accq[k] for k in range(out_deg + 1)]))
+        cm = rm.intt(stack([accm[k] for k in range(out_deg + 1)]))
+        cm = bx.mod_down_split_qp(cq, cm)  # (x - [x]_Q)/Q in QMul
+        cm = rm.add_scalar_bigint(cm, p_half)
+        cq = bx.mod_up_pq(cm, lvl_q)
+        cq = rq.sub_scalar_bigint(cq, p_half)
+        cq = rq.mul_scalar(cq, ctx.params.t)
+        return [(cq[0][k], cq[1][k]) for k in range(out_deg + 1)]
 
     # ---- key switching (bfv/evaluator.go:736-813) ------------------------
 
     def _decompose_ntt(self, cx: U64, c2_ntt: U64) -> tuple[U64, U64]:
         """All beta decomposition blocks of cx, NTT domain, stacked
         [beta, L_QP, N].  Block limbs reuse c2_ntt instead of a fresh NTT
-        (the skip at bfv/evaluator.go:775-782)."""
+        (the skip at bfv/evaluator.go:775-782).
+
+        The beta blocks stack on a leading axis and run as ONE batched NTT
+        per ring (two calls total instead of 2*beta batch-1 calls): the
+        Q-basis call transforms all n_q limbs uniformly and the block
+        limbs — whose decomposed values equal cx's own reduced limbs — are
+        then overwritten with the matching c2_ntt rows, preserving the
+        reference's skip semantics bit for bit."""
+        import numpy as np
+
         ctx = self.ctx
         dec = ctx.decomposer
         rq, rqp = ctx.ring_q, ctx.ring_qp
         n_q, n_p = dec.n_q, dec.n_p
         level = rq.L - 1
-        planes_lo, planes_hi = [], []
+        splits = [dec.decompose_and_split(level, i, cx) for i in range(dec.beta)]
+        stack = lambda ps: (jnp.stack([p[0] for p in ps]),
+                            jnp.stack([p[1] for p in ps]))
+        xq = stack([sp[0] for sp in splits])  # [beta, ..., n_q, N]
+        xp = stack([sp[1] for sp in splits])  # [beta, ..., n_p, N]
+        nq_ntt = rq.ntt_limbs(xq, tuple(range(n_q)))
+        np_ntt = rqp.ntt_limbs(xp, tuple(range(n_q, n_q + n_p)))
+
+        # host mask of block limbs per beta index
+        mask = np.zeros((dec.beta, n_q), dtype=bool)
         for i in range(dec.beta):
-            xq, xp = dec.decompose_and_split(level, i, cx)
             start = i * dec.alpha
-            end = min(start + dec.xalpha[i], n_q)
-            nonblock = [j for j in range(n_q) if not (start <= j < end)]
-            parts_lo, parts_hi = [None] * n_q, [None] * n_q
-            if nonblock:
-                sel = (xq[0][..., nonblock, :], xq[1][..., nonblock, :])
-                sel_ntt = rq.ntt_limbs(sel, tuple(nonblock))
-                for k, j in enumerate(nonblock):
-                    parts_lo[j] = sel_ntt[0][..., k : k + 1, :]
-                    parts_hi[j] = sel_ntt[1][..., k : k + 1, :]
-            for j in range(start, end):
-                parts_lo[j] = c2_ntt[0][..., j : j + 1, :]
-                parts_hi[j] = c2_ntt[1][..., j : j + 1, :]
-            xp_ntt = rqp.ntt_limbs(xp, tuple(range(n_q, n_q + n_p)))
-            planes_lo.append(jnp.concatenate(parts_lo + [xp_ntt[0]], axis=-2))
-            planes_hi.append(jnp.concatenate(parts_hi + [xp_ntt[1]], axis=-2))
-        return jnp.stack(planes_lo), jnp.stack(planes_hi)
+            mask[i, start:min(start + dec.xalpha[i], n_q)] = True
+        batch_nd = c2_ntt[0].ndim - 2
+        mask = mask.reshape(dec.beta, *([1] * batch_nd), n_q, 1)
+        blend = lambda a, c2: jnp.where(mask, c2, a)
+        lo = jnp.concatenate(
+            [blend(nq_ntt[0], c2_ntt[0]), np_ntt[0]], axis=-2)
+        hi = jnp.concatenate(
+            [blend(nq_ntt[1], c2_ntt[1]), np_ntt[1]], axis=-2)
+        return lo, hi
 
     def _switch_keys_core(self, cx: U64, swk) -> tuple[U64, U64]:
         """p0, p1 = sum_beta key_i (.) D_i(cx), divided by P

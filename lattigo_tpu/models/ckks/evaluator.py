@@ -231,9 +231,14 @@ class Evaluator:
         scale = ct.scale
         value = list(ct.value)
         lvl = ct.level
+        stack = lambda ps: (jnp.stack([q[0] for q in ps]),
+                            jnp.stack([q[1] for q in ps]))
+        n_pol = len(value)
         while scale >= (threshold * ring.moduli[lvl]) / 2 and lvl != 0:
             scale /= float(ring.moduli[lvl])
-            value = [scaling.div_round_by_last_modulus_ntt(ring, p) for p in value]
+            # both ciphertext polys dropped in ONE batched call
+            st = scaling.div_round_by_last_modulus_ntt(ring, stack(value))
+            value = [(st[0][k], st[1][k]) for k in range(n_pol)]
             lvl -= 1
         return Ciphertext(value, scale)
 
@@ -242,10 +247,13 @@ class Evaluator:
         scale = ct.scale
         for i in range(nb):
             scale /= float(ring.moduli[ct.level - i])
-        value = ct.value
-        value = [ring.intt(p) for p in value]
-        value = [scaling.div_round_by_last_modulus_many(ring, p, nb) for p in value]
-        value = [ring.ntt(p) for p in value]
+        stack = lambda ps: (jnp.stack([q[0] for q in ps]),
+                            jnp.stack([q[1] for q in ps]))
+        n_pol = len(ct.value)
+        st = ring.intt(stack(ct.value))
+        st = scaling.div_round_by_last_modulus_many(ring, st, nb)
+        st = ring.ntt(st)
+        value = [(st[0][k], st[1][k]) for k in range(n_pol)]
         return Ciphertext(value, scale)
 
     # ---- multiplication (ckks/evaluator.go:1016-1133) --------------------

@@ -41,9 +41,10 @@ FORCE_TILE = False
 FORCE_MXU = False
 
 # Batch (polys) at or above which the MXU four-step kernel beats the tile
-# butterfly kernel (measured crossover, perf_lab/lab18: 18 vs ~27 us/limb
-# at B=4; 2x at B>=16).
-_MXU_MIN_BATCH = 4
+# butterfly kernel (measured, perf_lab/lab18: parity at B=2, 18 vs ~27
+# us/limb at B=4, 2x at B>=16 — and the evaluators now stack poly/beta
+# axes into the batch, so small-batch dispatch decides scheme-op cost).
+_MXU_MIN_BATCH = 2
 
 
 def _tbl(vals, shape=None) -> U64:
