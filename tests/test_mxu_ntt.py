@@ -118,10 +118,10 @@ def test_dispatcher_routes_mxu(monkeypatch):
 
 
 def test_dispatcher_small_batch_stays_tile(monkeypatch):
-    """Below the crossover batch the tile kernel still serves."""
+    """Below the crossover batch (single poly) the tile kernel still serves."""
     ring = _ring(4096)
     rng = np.random.default_rng(13)
-    x = _rand(ring, (2,), rng)
+    x = _rand(ring, (), rng)
     monkeypatch.setattr(ring_mod, "FORCE_MXU", True)
     called = {}
 
